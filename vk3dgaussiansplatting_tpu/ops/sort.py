@@ -1,0 +1,58 @@
+"""Sort-element ordering — the reference's GPU sort subsystem, TPU-native.
+
+The reference sorts {tileKey, depthKey, gaussianIdx} triples by the 64-bit key
+(tileKey << 32) | depthKey with a FidelityFX-style 4-bit LSD radix sort
+(Engine/Graphics/Sort/RadixSort.cpp) or a bitonic merge sort
+(BitonicMergeSort.cpp), selected by `GPU_SORT_ALGORITHM` (Renderer.h:33).
+
+TPUs have no native u64, so the key is kept as its two u32 words throughout
+(the reference's own shaders also handle it word-split,
+RadixSortCount.comp:60-73).  Two tiers:
+
+  * XLA_SORT — `jax.lax.sort` with num_keys=2 (lexicographic (tile, depth),
+    stable).  Stability makes the result identical to the radix order with the
+    deterministic allocation of ops.keygen.  Correctness tier, runs anywhere.
+  * RADIX — Pallas multi-pass radix sort over only the *used* key bits
+    (32 depth bits + ceil(log2(numTiles)) tile bits, mirroring
+    `radixSortNumSortBits = roundUp4(32 + minNumBits(numTiles-1))`,
+    RadixSort.cpp:203-204).  Performance tier (ops/pallas/radix_kernel.py).
+
+Sentinel slots (0xFFFFFFFF everywhere) sort to the end, exactly like the
+reference's cleared-buffer padding (Subrenderer.cpp:42-46).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import RenderConfig, SortAlgorithm
+from .keygen import SortElements
+
+
+def sort_elements_xla(elements: SortElements) -> SortElements:
+    """Stable lexicographic sort by (tile, depth) via XLA's sort HLO."""
+    tile, depth, index = jax.lax.sort(
+        (elements.tile, elements.depth, elements.index),
+        dimension=0,
+        num_keys=2,
+        is_stable=True,
+    )
+    return SortElements(tile=tile, depth=depth, index=index, count=elements.count)
+
+
+def sort_elements(
+    elements: SortElements, config: RenderConfig
+) -> SortElements:
+    """Dispatch on the configured sort algorithm."""
+    algo = config.sort_algorithm
+    if algo == SortAlgorithm.AUTO:
+        on_tpu = jax.default_backend() == "tpu"
+        algo = SortAlgorithm.RADIX if on_tpu else SortAlgorithm.XLA_SORT
+    if algo == SortAlgorithm.XLA_SORT:
+        return sort_elements_xla(elements)
+    if algo == SortAlgorithm.RADIX:
+        from .pallas import radix_kernel
+
+        return radix_kernel.sort_elements_radix(elements, config)
+    raise ValueError(f"unknown sort algorithm {algo}")

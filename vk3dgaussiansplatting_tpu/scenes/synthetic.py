@@ -1,0 +1,160 @@
+"""Synthetic scenes — the reference's procedural test fixtures plus
+benchmark-scale generators.
+
+The reference has two procedural scenes that act as its only test fixtures
+(SURVEY.md §4): `SimpleTestGaussiansScene` (16 gaussians in a row — a
+projection/blend smoke test) and `TestSortScene` (192 gaussians at crafted
+depth-key spacings — a sort-order fixture).  Both are reproduced here with a
+seeded RNG in place of MSVC `rand()`.
+
+Because the actual Garden/Train .ply assets are not redistributable, the
+benchmark scenes are procedurally generated clouds whose statistics (gaussian
+count, tile overlap, resulting sort-element count) are tuned to match the
+reference's published benchmark rows (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..models.gaussians import NUM_SH_COEFFS, GaussianTable
+from ..render.camera import Camera
+from .scene import Scene
+
+MAX_UINT32 = 4294967295
+
+
+def simple_test_gaussians_table(seed: int = 0) -> GaussianTable:
+    """16 gaussians in a row (SimpleTestGaussiansScene.cpp:14-29)."""
+    rng = np.random.default_rng(seed)
+    n = 16
+    position = np.stack(
+        [
+            -8.0 + np.arange(n, dtype=np.float32),
+            np.zeros(n, dtype=np.float32),
+            np.full(n, -1.0, dtype=np.float32),
+        ],
+        axis=1,
+    )
+    scale = np.tile(np.array([[0.1, 0.2, 0.5]], dtype=np.float32), (n, 1))
+    rot = np.tile(np.array([[1.0, 0.0, 0.0, 0.0]], dtype=np.float32), (n, 1))
+    sh = np.zeros((n, NUM_SH_COEFFS, 3), dtype=np.float32)
+    # rand() % 10000 / 10000 equivalent:
+    sh[:, 0, :] = (rng.integers(0, 10000, size=(n, 3)) / 10000.0).astype(np.float32)
+    opacity = np.ones(n, dtype=np.float32)
+    return GaussianTable(position, scale, rot, sh, opacity)
+
+
+def test_sort_table(seed: int = 1) -> GaussianTable:
+    """192 gaussians at crafted depth-key spacings (TestSortScene.cpp:15-33):
+    gaussian i sits at the depth whose quantized key is (i+1)*1024, so the
+    correct sorted order equals the construction order."""
+    rng = np.random.default_rng(seed)
+    n = 64 * 3
+    i = np.arange(n, dtype=np.float64)
+    key_depth = (i + 1.0) * 1024.0
+    near, far = 0.1, 100.0
+    z = (key_depth / MAX_UINT32 * (far - near) + near).astype(np.float32)
+    position = np.stack(
+        [
+            ((-8.0 + i) * 0.01).astype(np.float32),
+            np.zeros(n, dtype=np.float32),
+            z,
+        ],
+        axis=1,
+    )
+    scale = np.full((n, 3), 0.02, dtype=np.float32)
+    rot = np.tile(np.array([[1.0, 0.0, 0.0, 0.0]], dtype=np.float32), (n, 1))
+    sh = np.zeros((n, NUM_SH_COEFFS, 3), dtype=np.float32)
+    sh[:, 0, :] = (rng.integers(0, 10000, size=(n, 3)) / 10000.0).astype(np.float32)
+    opacity = np.ones(n, dtype=np.float32)
+    return GaussianTable(position, scale, rot, sh, opacity)
+
+
+def procedural_cloud_table(
+    num_gaussians: int,
+    *,
+    seed: int = 42,
+    extent: float = 6.0,
+    scale_log_mean: float = -5.0,
+    scale_log_std: float = 0.8,
+    opacity_logit_mean: float = 1.0,
+    opacity_logit_std: float = 2.0,
+    sh_rest_std: float = 0.05,
+    cluster_fraction: float = 0.5,
+) -> GaussianTable:
+    """Benchmark-scale random gaussian cloud.
+
+    Shaped like a real capture: half the gaussians concentrated near the
+    origin (foreground subject), half spread over the full extent
+    (background), log-normal scales, random orientations.  Statistics are
+    tuned by the bench harness so the camera sees element counts matching the
+    reference rows (e.g. Garden-30k @1080p -> ~13.1M elements).
+    """
+    rng = np.random.default_rng(seed)
+    n = num_gaussians
+    n_cluster = int(n * cluster_fraction)
+    n_spread = n - n_cluster
+    pos_cluster = rng.normal(0.0, extent * 0.15, size=(n_cluster, 3))
+    pos_spread = rng.uniform(-extent, extent, size=(n_spread, 3))
+    position = np.concatenate([pos_cluster, pos_spread]).astype(np.float32)
+
+    scale = np.exp(
+        rng.normal(scale_log_mean, scale_log_std, size=(n, 3))
+    ).astype(np.float32)
+
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    rot = q.astype(np.float32)
+
+    opacity = 1.0 / (
+        1.0 + np.exp(-rng.normal(opacity_logit_mean, opacity_logit_std, size=n))
+    )
+
+    sh = np.zeros((n, NUM_SH_COEFFS, 3), dtype=np.float32)
+    sh[:, 0, :] = rng.uniform(-0.5, 1.5, size=(n, 3))
+    sh[:, 1:, :] = rng.normal(0.0, sh_rest_std, size=(n, NUM_SH_COEFFS - 1, 3))
+
+    return GaussianTable(
+        position=position,
+        scale=scale,
+        rot=rot,
+        sh=sh,
+        opacity=opacity.astype(np.float32),
+    )
+
+
+class SimpleTestGaussiansScene(Scene):
+    """SimpleTestGaussiansScene.cpp: camera at (0,0,2) yaw=pi."""
+
+    def init(self) -> None:
+        self.camera.set_position((0.0, 0.0, 2.0))
+        self.camera.set_rotation(math.pi, 0.0)
+        self.add_gaussians(simple_test_gaussians_table())
+
+
+class TestSortScene(Scene):
+    """TestSortScene.cpp: camera at origin looking +z."""
+
+    def init(self) -> None:
+        self.camera.set_position((0.0, 0.0, 0.0))
+        self.camera.set_rotation(0.0, 0.0)
+        self.add_gaussians(test_sort_table())
+
+
+class ProceduralBenchScene(Scene):
+    """Benchmark stand-in for the Garden/Train .ply scenes."""
+
+    def __init__(self, num_gaussians: int, aspect: float = 16.0 / 9.0, seed: int = 42):
+        super().__init__(aspect)
+        self.num_gaussians = num_gaussians
+        self.seed = seed
+
+    def init(self) -> None:
+        self.camera.set_position((0.0, 0.0, 2.0))
+        self.camera.set_rotation(math.pi, 0.0)
+        self.add_gaussians(
+            procedural_cloud_table(self.num_gaussians, seed=self.seed)
+        )
