@@ -15,21 +15,27 @@ from jax import lax
 
 
 def bench_loop(make_op, iters):
-    """make_op(perturb_scalar) -> digest scalar; chained through the loop."""
+    """make_op(perturb_scalar) -> digest scalar; chained through the loop.
+
+    Trip count is a *device* value so run(1) and run(N) share one compiled
+    executable — compilation over the tunnel costs ~a minute per program.
+    """
 
     def run(n):
         def body(i, acc):
             return acc * jnp.float32(1e-20) + make_op(acc * jnp.float32(1e-20))
 
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return lax.fori_loop(0, n, body, jnp.float32(0.0), unroll=False)
 
-    f = jax.jit(run, static_argnums=0)
-    float(f(1))  # compile + warm
+    f = jax.jit(run)
+    one = jnp.int32(1)
+    many = jnp.int32(iters + 1)
+    float(f(one))  # compile + warm
     t0 = time.perf_counter()
-    float(f(1))
+    float(f(one))
     t1 = (time.perf_counter() - t0)
     t0 = time.perf_counter()
-    float(f(iters + 1))
+    float(f(many))
     tn = (time.perf_counter() - t0)
     return (tn - t1) / iters
 
