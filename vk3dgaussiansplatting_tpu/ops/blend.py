@@ -78,11 +78,16 @@ def blend_tiles_xla(
     ranges,
     frame: GaussianFrameData,
     config: RenderConfig,
+    origin_y: int | jax.Array = 0,
 ):
     """Vectorized blend over all tiles at once (XLA tier).
 
     Memory scales as O(E * tile_size^2); intended for tests and small scenes.
     Returns a float32 [H, W, 3] image (pre-quantization).
+
+    `origin_y`: absolute pixel row of this image's first row — nonzero when
+    blending a sharded strip whose tile ids are strip-local but whose gaussian
+    screen positions are global (parallel/dist.py).
     """
     screen_pos, color_alpha, cov_inv = gather_element_features(elements, frame)
     tile = elements.tile
@@ -100,7 +105,11 @@ def blend_tiles_xla(
     lu, lv = _pixel_coords(config)  # [P]
     ts = jnp.float32(config.tile_size)
     u = tile_x[:, None].astype(jnp.float32) * ts + lu[None, :]  # [E,P]
-    v = tile_y[:, None].astype(jnp.float32) * ts + lv[None, :]
+    v = (
+        tile_y[:, None].astype(jnp.float32) * ts
+        + lv[None, :]
+        + jnp.asarray(origin_y, jnp.float32)
+    )
 
     gx = screen_pos[:, 0:1]
     gy = screen_pos[:, 1:2]

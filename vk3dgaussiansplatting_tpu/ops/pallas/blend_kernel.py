@@ -106,6 +106,7 @@ def _exclusive_cumprod(q):
 def _blend_tile_kernel(
     starts_ref,
     ends_ref,
+    origin_ref,
     feat_hbm,
     out_ref,
     feat_buf,
@@ -126,7 +127,7 @@ def _blend_tile_kernel(
     tile_y = tile // grid_w
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     u = (tile_x * ts + pix % ts).astype(jnp.float32)  # [1,P]
-    v = (tile_y * ts + pix // ts).astype(jnp.float32)
+    v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (BATCH_K, 1), 0)
 
@@ -190,16 +191,21 @@ def blend_tiles_pallas(
     ranges,
     frame: GaussianFrameData,
     config: RenderConfig,
+    origin_y: int | jax.Array = 0,
 ):
-    """Blend all tiles; returns float32 [H, W, 3] (pre-quantization)."""
+    """Blend all tiles; returns float32 [H, W, 3] (pre-quantization).
+
+    `origin_y`: absolute pixel row of this image's first row (sharded strips,
+    see parallel/dist.py)."""
     feat = _build_features(elements, frame)
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
+    origin = jnp.asarray(origin_y, jnp.int32).reshape(1)
     num_tiles = config.num_tiles
     p = config.tile_size * config.tile_size
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -215,7 +221,7 @@ def blend_tiles_pallas(
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32),
         grid_spec=grid_spec,
         interpret=jax.default_backend() != "tpu",
-    )(starts, ends, feat)
+    )(starts, ends, origin, feat)
 
     gh, gw, ts = config.grid_height, config.grid_width, config.tile_size
     img = tile_colors[:, :3, :].reshape(gh, gw, 3, ts, ts)
