@@ -13,6 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def bench_loop(make_op, iters):
     """make_op(perturb_scalar) -> digest scalar; chained through the loop.

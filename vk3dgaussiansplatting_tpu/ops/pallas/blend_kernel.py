@@ -4,32 +4,29 @@ Maps the reference's 16x16-thread-per-tile cooperative kernel
 (RenderGaussians.comp) onto the TPU's VPU/MXU:
 
   * grid = screen tiles (sequential programs on the TensorCore; all
-    parallelism lives in the (K elements x 256 pixels) batch shapes);
-  * the per-pixel gaussian evaluation f = -0.5(a dx^2 + c dy^2) - b dx dy is
-    evaluated directly on the VPU as a [K elements x 256 pixels] broadcast
-    expression.  (A bilinear MXU formulation f = E6 . [u^2,v^2,uv,u,v,1]
-    exists but cancels catastrophically — the expanded terms reach ~1e3-1e6
-    while f must resolve ~1e-5 near the f <= 0 eligibility threshold, which
+    parallelism lives in the [256 pixels x K elements] batch shapes);
+  * element data is pre-gathered into sorted order as a *feature-major*
+    [16, E] array so each batch is one lane-aligned DMA slice [16, K]
+    (Mosaic requires 128-lane-aligned slices; an element-major [E,16]
+    layout cannot be sliced).  Batches start at K-aligned offsets with
+    validity masks against the tile's [start, end) range;
+  * the per-pair falloff f = -0.5(a dx^2 + c dy^2) - b dx dy is evaluated
+    directly on the VPU in [P, K] orientation.  (A bilinear MXU formulation
+    f = E6 . [u^2,v^2,uv,u,v,1] cancels catastrophically — expanded terms
+    reach ~1e6 while f must resolve ~1e-5 near the f <= 0 threshold, which
     flips inclusion for pixels at a gaussian's center and can yield
-    alpha > 1.  Direct evaluation reproduces the reference's exact formula,
-    RenderGaussians.comp:117-124.);
-  * the sequential transmittance recurrence becomes a masked *exclusive
-    cumulative product* over the batch (log2 K shifted multiplies on the VPU)
-    with a [1,256] running-T carry across batches — multiplicative form, so
-    float behaviour tracks the reference's T *= (1-alpha) recurrence closely
-    and alpha == 1 degenerates to T = 0 exactly like the reference;
-  * early termination ("done") is the monotone-T mask T_excl >= 1e-4 (see
-    ops/blend.py for the equivalence argument), and whole remaining batches
-    are skipped once every pixel's T has dropped below the stop threshold —
-    the cooperative-batch early-out of RenderGaussians.comp:111 at batch
-    granularity;
-  * the color accumulation sum_j w_j * rgb_j is the second MXU matmul
-    [4,K] x [K,256] per batch.
-
-Element features are pre-gathered into sorted order (one XLA gather) so the
-kernel streams contiguous HBM with a manual double-buffered DMA pipeline —
-the TPU-native equivalent of the reference's 256-wide cooperative shared-mem
-staging loop.
+    alpha > 1.  Direct evaluation reproduces RenderGaussians.comp:117-124.);
+  * the sequential transmittance recurrence T *= (1-alpha) becomes a masked
+    *exclusive cumulative product* along the lane axis (log2 K shifted
+    multiplies) with a [P, 1] running-T carry across batches — the
+    multiplicative form keeps float behaviour close to the reference and
+    alpha == 1 collapses T to 0 exactly like the reference;
+  * early termination is the monotone-T mask T_excl >= 1e-4 (equivalence
+    argument in ops/blend.py), and whole remaining batches are skipped once
+    every pixel is below the stop threshold — the cooperative-batch
+    early-out of RenderGaussians.comp:111 at batch granularity;
+  * color accumulation sum_j w_j rgb_j is an MXU matmul
+    [4, K] x [K contracted with P-major w] -> [4, P] per batch.
 """
 
 from __future__ import annotations
@@ -38,23 +35,25 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.config import SENTINEL, RenderConfig
 from ..keygen import GaussianFrameData, SortElements
 
-# Elements per batch (the reference's ENTIRE_GROUP_SIZE=256 cooperative batch,
-# widened to fill VPU/MXU shapes).
+# Elements per batch (the reference's ENTIRE_GROUP_SIZE=256 cooperative
+# batch, widened to fill VPU lanes).
 BATCH_K = 512
-NUM_FEATURES = 16  # padded feature row (f-features 6 + rgba 4 + pad)
+NUM_FEATURES = 16  # feature rows: gx, gy, a, b, c, pad, r, g, b, galpha, pad*6
 
 
 def _build_features(elements: SortElements, frame: GaussianFrameData):
-    """Gather per-gaussian data into sorted-element order and pack the
-    per-element rows: [gx, gy, a, b, c, 0, r, g, b, galpha, 0...]
-    where (a,b,c) = inverse covariance and (gx,gy) = screen position."""
+    """Gather per-gaussian data into sorted-element order, feature-major.
+
+    Returns [NUM_FEATURES, E_pad] float32 with
+    rows [gx, gy, a, b, c, 0, r, g, b, galpha, 0...]; E padded to a multiple
+    of BATCH_K plus one slack batch so K-aligned DMA slices stay in bounds.
+    """
     idx = jnp.where(
         elements.index == jnp.uint32(SENTINEL), jnp.uint32(0), elements.index
     ).astype(jnp.int32)
@@ -64,6 +63,7 @@ def _build_features(elements: SortElements, frame: GaussianFrameData):
     live = (elements.index != jnp.uint32(SENTINEL)).astype(jnp.float32)
 
     galpha = ca[:, 3] * live  # dead slots contribute nothing
+    zeros = jnp.zeros_like(galpha)
     feat = jnp.stack(
         [
             sp[:, 0],
@@ -71,33 +71,37 @@ def _build_features(elements: SortElements, frame: GaussianFrameData):
             ci[:, 0],
             ci[:, 1],
             ci[:, 2],
-            jnp.zeros_like(galpha),
+            zeros,
             ca[:, 0],
             ca[:, 1],
             ca[:, 2],
             galpha,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
         ],
-        axis=-1,
-    )
-    pad = jnp.zeros((feat.shape[0], NUM_FEATURES - feat.shape[1]), jnp.float32)
-    feat = jnp.concatenate([feat, pad], axis=-1)
-    # Pad rows so a batch DMA starting anywhere in [0, E) stays in bounds.
+        axis=0,
+    )  # [16, E]
+    e = feat.shape[1]
+    pad = (-e) % BATCH_K + BATCH_K
     feat = jnp.concatenate(
-        [feat, jnp.zeros((BATCH_K, NUM_FEATURES), jnp.float32)], axis=0
+        [feat, jnp.zeros((NUM_FEATURES, pad), jnp.float32)], axis=1
     )
     return feat
 
 
-def _exclusive_cumprod(q):
-    """Exclusive cumulative product along axis 0 via log2(K) shifted
-    multiplies (identity pad).  q: [K, P]."""
-    k = q.shape[0]
+def _exclusive_cumprod_lanes(q):
+    """Exclusive cumulative product along axis 1 via log2(K) shifted
+    multiplies (identity pad).  q: [P, K]."""
+    k = q.shape[1]
     ones = jnp.ones_like(q)
-    # exclusive: shift down by one first
-    x = jnp.concatenate([ones[:1], q[:-1]], axis=0)
+    x = jnp.concatenate([ones[:, :1], q[:, :-1]], axis=1)  # shift right by 1
     shift = 1
     while shift < k:
-        shifted = jnp.concatenate([ones[:shift], x[:-shift]], axis=0)
+        shifted = jnp.concatenate([ones[:, :shift], x[:, :-shift]], axis=1)
         x = x * shifted
         shift *= 2
     return x
@@ -122,52 +126,57 @@ def _blend_tile_kernel(
     start = starts_ref[tile]
     end = ends_ref[tile]
 
-    # Absolute pixel coordinates of the tile's 256 pixels (p = v*16 + u).
+    # Absolute pixel coordinates of the tile's pixels as [P, 1] columns
+    # (p = v*ts + u, matching the GLSL local index layout).
     tile_x = tile % grid_w
     tile_y = tile // grid_w
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    u = (tile_x * ts + pix % ts).astype(jnp.float32)  # [1,P]
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    u = (tile_x * ts + pix % ts).astype(jnp.float32)  # [P,1]
     v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BATCH_K, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
 
     def body(carry):
         k0, t_carry, color, _alive = carry
+        k0a = pl.multiple_of(k0, BATCH_K)
         copy = pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(k0, BATCH_K), :], feat_buf, dma_sem
+            feat_hbm.at[:, pl.ds(k0a, BATCH_K)], feat_buf, dma_sem
         )
         copy.start()
         copy.wait()
         buf = feat_buf[:, :]
 
+        gx = buf[0:1, :]  # [1,K]
+        gy = buf[1:2, :]
+        a = buf[2:3, :]
+        b = buf[3:4, :]
+        c = buf[4:5, :]
+        galpha = buf[9:10, :]
+
         # Direct per-pair evaluation (RenderGaussians.comp:117-124):
-        # dx = gx - u, dy = v - gy (the evalX.y = -evalX.y flip),
-        # f = -0.5 (a dx^2 + c dy^2) - b dx dy.
-        dx = buf[:, 0:1] - u  # [K,P]
-        dy = v - buf[:, 1:2]
-        a = buf[:, 2:3]
-        b = buf[:, 3:4]
-        c = buf[:, 4:5]
+        # dx = gx - u, dy = v - gy (the evalX.y = -evalX.y flip).
+        dx = gx - u  # [P,K]
+        dy = v - gy
         f = jnp.float32(-0.5) * (a * dx * dx + c * dy * dy) - b * dx * dy
-        galpha = buf[:, 9:10]
         alpha = galpha * jnp.exp(f)
-        valid = (k0 + row_ids) < end
-        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff)) & valid
 
-        q = jnp.where(elig, 1.0 - alpha, 1.0)
-        t_excl = t_carry * _exclusive_cumprod(q)  # [K,P]
+        in_range = (k0 + lane >= start) & (k0 + lane < end)  # [1,K]
+        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff)) & in_range
+
+        q = jnp.where(elig, 1.0 - alpha, 1.0)  # [P,K]
+        t_excl = t_carry * _exclusive_cumprod_lanes(q)
         not_done = t_excl >= jnp.float32(config.transmittance_stop)
-        w = jnp.where(elig & not_done, t_excl * alpha, 0.0)
+        w = jnp.where(elig & not_done, t_excl * alpha, 0.0)  # [P,K]
 
-        rgba = buf[:, 6:10]  # [K,4]
+        rgba = buf[6:10, :]  # [4,K]
         color = color + jax.lax.dot_general(
             rgba,
             w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [4,P]
 
-        t_carry = t_excl[-1:, :] * q[-1:, :]
+        t_carry = t_excl[:, -1:] * q[:, -1:]  # [P,1]
         alive = jnp.max(t_carry) >= jnp.float32(config.transmittance_stop)
         return k0 + BATCH_K, t_carry, color, alive
 
@@ -176,8 +185,8 @@ def _blend_tile_kernel(
         return (k0 < end) & alive
 
     init = (
-        start,
-        jnp.ones((1, p), jnp.float32),
+        (start // BATCH_K) * BATCH_K,  # K-aligned first batch
+        jnp.ones((p, 1), jnp.float32),
         jnp.zeros((4, p), jnp.float32),
         jnp.bool_(True),
     )
@@ -212,7 +221,7 @@ def blend_tiles_pallas(
             (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((BATCH_K, NUM_FEATURES), jnp.float32),
+            pltpu.VMEM((NUM_FEATURES, BATCH_K), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
