@@ -1,0 +1,213 @@
+"""Benchmark entry point — prints ONE JSON line for the driver.
+
+Headline metric: Garden-30k-scale frame time at 1920x1080 on one TPU chip
+(reference: 28.499 ms on an RTX 3080 Ti, BASELINE.md row Garden-30k@1080p).
+
+Protocol notes:
+  * The real Garden .ply is not redistributable; the scene is a procedural
+    cloud with the same gaussian count whose scale distribution is
+    *calibrated on device* so the frame's live sort-element count matches the
+    reference row (13.1M) within a few percent.
+  * The axon tunnel neither blocks on dispatch nor observes completion
+    without a fetch, and has ~28 ms RTT; frames are therefore timed by an
+    in-jit `lax.fori_loop` over F frames (camera perturbed per iteration so
+    nothing is cached/elided), fetching one scalar digest, and subtracting
+    the one-frame run.  This mirrors the reference's warmup+average protocol
+    (Renderer.cpp:477-487) with the averaging done on device.
+"""
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+BASELINES_MS = {
+    "garden30k_1080p": 28.499,
+    "garden30k_720p": 19.052,
+    "train30k_1080p": 22.034,
+    "train7k_720p": 8.581,
+}
+SCENES = {
+    # name: (num_gaussians, width, height, target_elements)
+    "garden30k_1080p": (5_834_784, 1920, 1080, 13_098_506),
+    "garden30k_720p": (5_834_784, 1280, 720, 8_903_222),
+    "train30k_1080p": (1_026_508, 1920, 1080, 10_145_054),
+    "train7k_720p": (559_263, 1280, 720, 3_487_911),
+    # tiny smoke config for CPU / CI runs (baseline scaled from train7k)
+    "debug_small": (20_000, 256, 256, 60_000),
+}
+BASELINES_MS["debug_small"] = 1.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_frame_fn(config, capacity, use_pallas_blend):
+    from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+    from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
+    from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
+    from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
+
+    def frame(table, view, proj, cam_pos):
+        elements, frame_data = keygen_ops.generate_sort_elements(
+            table, view, proj, cam_pos, config, capacity
+        )
+        elements = sort_ops.sort_elements(elements, config)
+        ranges = ranges_ops.find_ranges(elements, config.num_tiles)
+        if use_pallas_blend:
+            from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
+
+            image = blend_kernel.blend_tiles_pallas(
+                elements, ranges, frame_data, config
+            )
+        else:
+            image = blend_ops.blend_tiles_xla(elements, ranges, frame_data, config)
+        return image, elements.count
+
+    return frame
+
+
+def calibrate_scale(table_host, cam, config, capacity, target_elements):
+    """Binary-search a log-scale offset so live elements ~= target."""
+    from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
+    from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
+
+    view, proj = cam.matrices()
+    base = jax.device_put(
+        GaussianTable(
+            position=jnp.asarray(table_host.position),
+            scale=jnp.asarray(table_host.scale),
+            rot=jnp.asarray(table_host.rot),
+            sh=jnp.asarray(table_host.sh),
+            opacity=jnp.asarray(table_host.opacity),
+        )
+    )
+    vj, pj, cj = jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position)
+
+    @jax.jit
+    def count_at(mult):
+        t = GaussianTable(
+            position=base.position,
+            scale=base.scale * mult,
+            rot=base.rot,
+            sh=base.sh,
+            opacity=base.opacity,
+        )
+        el, _ = keygen_ops.generate_sort_elements(t, vj, pj, cj, config, capacity)
+        return el.count
+
+    lo, hi = 0.05, 20.0
+    mult = 1.0
+    for _ in range(12):
+        mult = math.sqrt(lo * hi)
+        c = int(count_at(jnp.float32(mult)))
+        if abs(c - target_elements) / target_elements < 0.03:
+            break
+        if c < target_elements:
+            lo = mult
+        else:
+            hi = mult
+    final = int(count_at(jnp.float32(mult)))
+    return mult, final
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="garden30k_1080p", choices=SCENES)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--sort", default="xla", choices=["xla", "radix"])
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
+    from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
+    from vk3dgaussiansplatting_tpu.render.camera import Camera
+    from vk3dgaussiansplatting_tpu.scenes.synthetic import procedural_cloud_table
+
+    n_gauss, width, height, target_elems = SCENES[args.scene]
+    on_tpu = jax.default_backend() == "tpu"
+    config = RenderConfig(
+        width=width,
+        height=height,
+        sort_algorithm=SortAlgorithm.RADIX
+        if args.sort == "radix"
+        else SortAlgorithm.XLA_SORT,
+    )
+    use_pallas = on_tpu and not args.no_pallas
+
+    log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
+        f"target_elems={target_elems} pallas={use_pallas} sort={args.sort}")
+    t0 = time.time()
+    host_table = procedural_cloud_table(n_gauss, seed=args.seed)
+    cam = Camera(width / height)
+    cam.set_position((0.0, 0.0, 2.0))
+    cam.set_rotation(math.pi, 0.0)
+    capacity = config.sort_capacity(n_gauss)
+    log(f"scene built in {time.time()-t0:.1f}s; capacity={capacity}")
+
+    t0 = time.time()
+    mult, live = calibrate_scale(host_table, cam, config, capacity, target_elems)
+    log(f"calibrated scale x{mult:.3f} -> {live/1e6:.2f}M live elements "
+        f"(target {target_elems/1e6:.2f}M) in {time.time()-t0:.0f}s")
+
+    table = jax.device_put(
+        GaussianTable(
+            position=jnp.asarray(host_table.position),
+            scale=jnp.asarray(host_table.scale * np.float32(mult)),
+            rot=jnp.asarray(host_table.rot),
+            sh=jnp.asarray(host_table.sh),
+            opacity=jnp.asarray(host_table.opacity),
+        )
+    )
+    del host_table
+    view, proj = cam.matrices()
+    vj, pj, cj = jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position)
+    frame = build_frame_fn(config, capacity, use_pallas)
+
+    def run(num_frames):
+        def body(i, acc):
+            # Perturb the camera translation a hair per frame so nothing is
+            # constant-folded or served from a result cache.
+            eps = (acc * jnp.float32(1e-30) + i.astype(jnp.float32)) * jnp.float32(1e-5)
+            v2 = vj.at[2, 3].add(eps)
+            img, count = frame(table, v2, pj, cj)
+            return acc * jnp.float32(1e-30) + jnp.sum(img[::97, ::97, 0]) + count.astype(jnp.float32) * jnp.float32(1e-9)
+
+        return lax.fori_loop(0, num_frames, body, jnp.float32(0.0))
+
+    g = jax.jit(run)
+    t0 = time.time()
+    float(g(jnp.int32(1)))
+    log(f"compile+first frame in {time.time()-t0:.0f}s")
+    t0 = time.perf_counter()
+    float(g(jnp.int32(1)))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(g(jnp.int32(args.frames + 1)))
+    tn = time.perf_counter() - t0
+    ms_per_frame = (tn - t1) / args.frames * 1e3
+    baseline = BASELINES_MS[args.scene]
+    log(f"t(1)={t1*1e3:.1f}ms t({args.frames+1})={tn*1e3:.1f}ms")
+
+    result = {
+        "metric": f"{args.scene}_ms_per_frame",
+        "value": round(ms_per_frame, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline / ms_per_frame, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,11 @@ def report(name, seconds, detail=""):
 
 def main():
     print("device:", jax.devices()[0], flush=True)
-    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
     n = 1 << 24  # 16.7M
 
-    x = jax.random.uniform(key, (n,), dtype=jnp.float32) + 0.5
-    jax.block_until_ready(x)
+    x = jnp.asarray(rng.random(n, dtype=np.float32) + 0.5)
+    print("uploaded 16M", flush=True)
 
     t = bench_loop(lambda s: jnp.sum((x + s) * 2.0), 20)
     report("add+mul 16M f32", t, f"-> {3*4*n/t/1e9:.0f} GB/s stream")
@@ -72,7 +72,7 @@ def main():
     report("cumsum [16k,256] ax0", t)
 
     for m, dt_ in ((4096, jnp.float32), (4096, jnp.bfloat16)):
-        a = jax.random.normal(key, (m, m), dtype=dt_)
+        a = jnp.asarray(rng.standard_normal((m, m)).astype(np.float32)).astype(dt_)
         t = bench_loop(
             lambda s, a=a, dt_=dt_: jnp.sum(
                 jnp.dot(a + s.astype(dt_), a, preferred_element_type=jnp.float32)
@@ -82,8 +82,8 @@ def main():
         report(f"matmul {dt_.__name__} {m}", t, f"-> {2*m**3/t/1e12:.1f} TFLOP/s")
 
     # small matmul shape used by blend: [512,8]@[8,256] done 1024x per iter
-    a = jax.random.normal(key, (512, 8), dtype=jnp.float32)
-    b = jax.random.normal(key, (8, 256), dtype=jnp.float32)
+    a = jnp.asarray(rng.standard_normal((512, 8)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
 
     def blend_mm(s):
         def body(i, acc):
@@ -96,10 +96,8 @@ def main():
 
     # XLA sort at pipeline scale: 13M 2-key u32
     e = 13_000_000
-    tile = jax.random.randint(key, (e,), 0, 8160, dtype=jnp.uint32)
-    depth = jax.random.randint(
-        key, (e,), 0, jnp.iinfo(jnp.uint32).max, dtype=jnp.uint32
-    )
+    tile = jnp.asarray(rng.integers(0, 8160, e).astype(np.uint32))
+    depth = jnp.asarray(rng.integers(0, 2**32 - 1, e).astype(np.uint32))
     idx = jnp.arange(e, dtype=jnp.uint32)
     jax.block_until_ready((tile, depth, idx))
 
@@ -112,14 +110,14 @@ def main():
     report("lax.sort 13M 2-key stable", t, f"-> {e/t/1e6:.0f} M elem/s")
 
     # gather 13M x 32B rows
-    tbl = jax.random.normal(key, (5_800_000, 8), dtype=jnp.float32)
-    gidx = jax.random.randint(key, (e,), 0, 5_800_000, dtype=jnp.int32)
+    tbl = jnp.asarray(rng.standard_normal((5_800_000, 8)).astype(np.float32))
+    gidx = jnp.asarray(rng.integers(0, 5_800_000, e).astype(np.int32))
     jax.block_until_ready((tbl, gidx))
     t = bench_loop(lambda s: jnp.sum(tbl[gidx] + s), 5)
     report("gather 13M x 32B", t, f"-> {e*32/t/1e9:.0f} GB/s eff")
 
     # scatter-add 5.8M -> 13M
-    offs = jnp.sort(jax.random.randint(key, (5_800_000,), 0, e, dtype=jnp.int32))
+    offs = jnp.asarray(np.sort(rng.integers(0, e, 5_800_000).astype(np.int32)))
     jax.block_until_ready(offs)
     t = bench_loop(
         lambda s: jnp.sum(
@@ -144,8 +142,8 @@ def main():
     report("repeat 5.8M->13M", t)
 
     # int div/mod 13M by small dynamic divisor
-    d1 = jax.random.randint(key, (e,), 1, 30, dtype=jnp.int32)
-    d2 = jax.random.randint(key, (e,), 0, 1000, dtype=jnp.int32)
+    d1 = jnp.asarray(rng.integers(1, 30, e).astype(np.int32))
+    d2 = jnp.asarray(rng.integers(0, 1000, e).astype(np.int32))
     jax.block_until_ready((d1, d2))
     t = bench_loop(
         lambda s: jnp.sum(((d2 + s.astype(jnp.int32)) // d1)[:64].astype(jnp.float32)),
