@@ -31,11 +31,14 @@ class SortAlgorithm(enum.Enum):
 
     XLA_SORT  — `jax.lax.sort` lexicographic two-key sort (correctness tier).
     RADIX     — multi-pass LSD radix sort over the used key bits (perf tier).
+    BITONIC   — bitonic merge network (the reference's alternative backend,
+                BitonicMergeSort.{h,cpp}); requires power-of-two capacity.
     AUTO      — RADIX on TPU, XLA_SORT elsewhere.
     """
 
     XLA_SORT = "xla_sort"
     RADIX = "radix"
+    BITONIC = "bitonic"
     AUTO = "auto"
 
 

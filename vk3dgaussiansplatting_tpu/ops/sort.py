@@ -51,6 +51,10 @@ def sort_elements(
         algo = SortAlgorithm.RADIX if on_tpu else SortAlgorithm.XLA_SORT
     if algo == SortAlgorithm.XLA_SORT:
         return sort_elements_xla(elements)
+    if algo == SortAlgorithm.BITONIC:
+        from .bitonic import sort_elements_bitonic
+
+        return sort_elements_bitonic(elements)
     if algo == SortAlgorithm.RADIX:
         from .pallas import radix_kernel
 
