@@ -1,0 +1,164 @@
+"""Per-pass TPU timing at benchmark scale — the perf iteration tool.
+
+Times each pipeline pass (keygen / sort / ranges / blend) with the in-jit
+fori-loop protocol on a calibrated procedural scene.  Mirrors the reference's
+RECORD_GPU_TIMES per-pass breakdown (Renderer.cpp:458-510).
+
+Usage: scripts/tpu_run.sh /tmp/pass_bench.txt 1800 400 2 -- \\
+           python -u scripts/pass_bench.py --scene train7k_720p
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, ".")
+
+
+def bench(name, make_digest, iters=8):
+    def run(n):
+        def body(i, acc):
+            return acc * jnp.float32(1e-20) + make_digest(acc * jnp.float32(1e-20))
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    f = jax.jit(run)
+    t0 = time.perf_counter()
+    float(f(jnp.int32(1)))
+    print(f"  [{name}] compile+first {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    float(f(jnp.int32(1)))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(f(jnp.int32(iters + 1)))
+    tn = time.perf_counter() - t0
+    dt = (tn - t1) / iters
+    print(f"{name}: {dt*1e3:.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    from bench import SCENES, calibrate_scale
+    from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
+    from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
+    from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+    from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
+    from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
+    from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
+    from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
+    from vk3dgaussiansplatting_tpu.render.camera import Camera
+    from vk3dgaussiansplatting_tpu.scenes.synthetic import procedural_cloud_table
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="train7k_720p", choices=SCENES)
+    ap.add_argument("--skip-sort", action="store_true")
+    ap.add_argument("--skip-blend", action="store_true")
+    args = ap.parse_args()
+
+    import math
+
+    n_gauss, width, height, target = SCENES[args.scene]
+    config = RenderConfig(width=width, height=height, sort_algorithm=SortAlgorithm.XLA_SORT)
+    capacity = config.sort_capacity(n_gauss)
+    print(f"{args.scene}: n={n_gauss} capacity={capacity} tiles={config.num_tiles}", flush=True)
+
+    host = procedural_cloud_table(n_gauss, seed=42)
+    cam = Camera(width / height)
+    cam.set_position((0.0, 0.0, 2.0))
+    cam.set_rotation(math.pi, 0.0)
+    mult, live = calibrate_scale(host, cam, config, capacity, target)
+    print(f"calibrated x{mult:.3f} -> {live/1e6:.2f}M elements", flush=True)
+
+    table = jax.device_put(
+        GaussianTable(
+            position=jnp.asarray(host.position),
+            scale=jnp.asarray(host.scale * np.float32(mult)),
+            rot=jnp.asarray(host.rot),
+            sh=jnp.asarray(host.sh),
+            opacity=jnp.asarray(host.opacity),
+        )
+    )
+    del host
+    view, proj = cam.matrices()
+    vj, pj, cj = jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position)
+
+    def keygen_digest(s):
+        el, fr = keygen_ops.generate_sort_elements(
+            table, vj.at[2, 3].add(s), pj, cj, config, capacity
+        )
+        return jnp.sum(el.depth[:8].astype(jnp.float32)) + el.count.astype(jnp.float32)
+
+    bench("keygen", keygen_digest)
+
+    elements, frame = jax.jit(
+        lambda: keygen_ops.generate_sort_elements(table, vj, pj, cj, config, capacity)
+    )()
+    jax.block_until_ready(elements)
+
+    if not args.skip_sort:
+        def sort_digest(s):
+            el = keygen_ops.SortElements(
+                tile=elements.tile,
+                depth=elements.depth + s.astype(jnp.uint32),
+                index=elements.index,
+                count=elements.count,
+            )
+            se = sort_ops.sort_elements_xla(el)
+            return jnp.sum(se.index[:8].astype(jnp.float32))
+
+        bench("sort(xla)", sort_digest, iters=3)
+
+    sorted_elems = jax.jit(lambda: sort_ops.sort_elements_xla(elements))()
+    jax.block_until_ready(sorted_elems)
+
+    def ranges_digest(s):
+        el = keygen_ops.SortElements(
+            tile=sorted_elems.tile,
+            depth=sorted_elems.depth,
+            index=sorted_elems.index + s.astype(jnp.uint32),
+            count=sorted_elems.count,
+        )
+        rg = ranges_ops.find_ranges(el, config.num_tiles)
+        return jnp.sum(rg[:8, :].astype(jnp.float32))
+
+    bench("find_ranges", ranges_digest)
+
+    ranges = jax.jit(lambda: ranges_ops.find_ranges(sorted_elems, config.num_tiles))()
+    jax.block_until_ready(ranges)
+
+    def gather_digest(s):
+        fr2 = keygen_ops.GaussianFrameData(
+            color_alpha=frame.color_alpha + s,
+            cov2d=frame.cov2d,
+            cov_inv=frame.cov_inv,
+            screen_pos=frame.screen_pos,
+        )
+        feat = blend_kernel._build_features(sorted_elems, fr2)
+        return jnp.sum(feat[:, :8])
+
+    bench("feature gather+pack", gather_digest)
+
+    if not args.skip_blend:
+        def blend_digest(s):
+            fr2 = keygen_ops.GaussianFrameData(
+                color_alpha=frame.color_alpha + s,
+                cov2d=frame.cov2d,
+                cov_inv=frame.cov_inv,
+                screen_pos=frame.screen_pos,
+            )
+            img = blend_kernel.blend_tiles_pallas(sorted_elems, ranges, fr2, config)
+            return jnp.sum(img[::97, ::97, 0])
+
+        bench("blend(pallas) incl gather", blend_digest, iters=4)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,11 @@ class Engine:
             scene = self.scene_manager.current
             scene.camera.update(self.input, dt)
             scene.update(dt)
+            if self.input.is_down("t"):  # memory dump hotkey (Engine.cpp:64-69)
+                from ..utils.debug import write_memory_dump
+
+                log.write(f"memory dump -> {write_memory_dump()}")
+                self.input.release("t")
             self.input.end_frame()
 
             out = self.renderer.draw(scene.camera)
