@@ -10,6 +10,8 @@ This probes which primitives lower + their throughput:
 import time
 import functools
 
+jax_cache = "/root/.cache/jax"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +21,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 K = 8192
 C = 128
+
+
+import jax as _j
+_j.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+_j.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def probe(name, kernel, *args, out_shape):
@@ -57,10 +64,10 @@ def bench(name, f, *args, iters=20):
 
 def main():
     print("device:", jax.devices()[0], flush=True)
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (K, C), dtype=jnp.float32)
-    xr = jax.random.normal(key, (K, 1), dtype=jnp.float32)
-    idx = jax.random.permutation(key, K).astype(jnp.int32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((K, C)).astype(np.float32))
+    xr = jnp.asarray(rng.standard_normal((K, 1)).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(K).astype(np.int32))
     idx2d = idx.reshape(K, 1)
 
     def k_take(x_ref, i_ref, o_ref):
@@ -78,7 +85,7 @@ def main():
     bench("take axis0 [8192,1]", f2, xr, idx2d)
 
     # gather along lanes (axis=-1): [8,K] take idx along axis 1
-    xl = jax.random.normal(key, (8, K), dtype=jnp.float32)
+    xl = jnp.asarray(rng.standard_normal((8, K)).astype(np.float32))
     idxl = jnp.tile(idx.reshape(1, K), (8, 1))
 
     def k_take_lane(x_ref, i_ref, o_ref):

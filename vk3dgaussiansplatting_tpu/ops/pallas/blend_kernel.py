@@ -136,15 +136,33 @@ def _blend_tile_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
 
-    def body(carry):
-        k0, t_carry, color, _alive = carry
+    def dma(slot, k0):
         k0a = pl.multiple_of(k0, BATCH_K)
-        copy = pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(k0a, BATCH_K)], feat_buf, dma_sem
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(k0a, BATCH_K)],
+            feat_buf.at[slot],
+            dma_sem.at[slot],
         )
-        copy.start()
-        copy.wait()
-        buf = feat_buf[:, :]
+
+    first_k0 = (start // BATCH_K) * BATCH_K  # K-aligned first batch
+
+    # Double-buffered prefetch: batch i's DMA is issued while batch i-1
+    # computes (the TPU version of the reference's cooperative staging,
+    # RenderGaussians.comp:81-109).
+    @pl.when(first_k0 < end)
+    def _():
+        dma(0, first_k0).start()
+
+    def body(carry):
+        k0, slot, t_carry, color, _alive = carry
+        nk0 = k0 + BATCH_K
+
+        @pl.when(nk0 < end)
+        def _():
+            dma(1 - slot, nk0).start()
+
+        dma(slot, k0).wait()
+        buf = feat_buf[slot]
 
         gx = buf[0:1, :]  # [1,K]
         gy = buf[1:2, :]
@@ -178,19 +196,28 @@ def _blend_tile_kernel(
 
         t_carry = t_excl[:, -1:] * q[:, -1:]  # [P,1]
         alive = jnp.max(t_carry) >= jnp.float32(config.transmittance_stop)
-        return k0 + BATCH_K, t_carry, color, alive
+        return nk0, 1 - slot, t_carry, color, alive
 
     def cond(carry):
-        k0, _t, _c, alive = carry
+        k0, _slot, _t, _c, alive = carry
         return (k0 < end) & alive
 
     init = (
-        (start // BATCH_K) * BATCH_K,  # K-aligned first batch
+        first_k0,
+        jnp.int32(0),
         jnp.ones((p, 1), jnp.float32),
         jnp.zeros((4, p), jnp.float32),
         jnp.bool_(True),
     )
-    _, _, color, _ = jax.lax.while_loop(cond, body, init)
+    k_end, slot_end, _, color, alive_end = jax.lax.while_loop(cond, body, init)
+
+    # Drain: if the loop exited early (all pixels saturated) while a prefetch
+    # for batch k_end is in flight, consume it so the scratch semaphore is
+    # clean for the next tile program.
+    @pl.when(jnp.logical_not(alive_end) & (k_end < end))
+    def _():
+        dma(slot_end, k_end).wait()
+
     out_ref[0, :, :] = jnp.clip(color, 0.0, 1.0)
 
 
@@ -221,8 +248,8 @@ def blend_tiles_pallas(
             (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NUM_FEATURES, BATCH_K), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NUM_FEATURES, BATCH_K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     tile_colors = pl.pallas_call(
