@@ -22,6 +22,8 @@ rng = np.random.default_rng(0)
 
 
 def bench(name, fn, iters=3):
+    print(f"  [{name}] compiling...", flush=True)
+
     def run(n):
         def body(i, acc):
             return acc * jnp.float32(1e-20) + fn(acc * jnp.float32(1e-20))
@@ -45,6 +47,19 @@ def bench(name, fn, iters=3):
 
 def main():
     print("device:", jax.devices()[0], flush=True)
+
+    # (c) scatter a permutation: 13M unique indices
+    e = 13_000_000
+    perm = jnp.asarray(rng.permutation(e).astype(np.int32))
+    vals = jnp.asarray(rng.integers(0, 2**31, e).astype(np.uint32))
+
+    def scatter_perm(s):
+        out = jnp.zeros((e,), jnp.uint32).at[perm].set(
+            vals + (s * 0).astype(jnp.uint32), unique_indices=True, mode="drop"
+        )
+        return jnp.sum(out[:4].astype(jnp.float32))
+
+    bench("scatter 13M unique u32", scatter_perm)
 
     # (a) batched per-row sort: 68 rows x 256K, 3-key
     rows, per = 68, 1 << 18
@@ -73,19 +88,6 @@ def main():
         return jnp.sum(si[:4].astype(jnp.float32))
 
     bench("flat sort 13.4M 2key stable", flat_sort)
-
-    # (c) scatter a permutation: 13M unique indices
-    e = 13_000_000
-    perm = jnp.asarray(rng.permutation(e).astype(np.int32))
-    vals = jnp.asarray(rng.integers(0, 2**31, e).astype(np.uint32))
-
-    def scatter_perm(s):
-        out = jnp.zeros((e,), jnp.uint32).at[perm].set(
-            vals + (s * 0).astype(jnp.uint32), unique_indices=True, mode="drop"
-        )
-        return jnp.sum(out[:4].astype(jnp.float32))
-
-    bench("scatter 13M unique u32", scatter_perm)
 
     # (d) gather 13M x 3 u32 via fancy indexing
     def gather_perm(s):
