@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--scene", default="train7k_720p", choices=SCENES)
     ap.add_argument("--skip-sort", action="store_true")
     ap.add_argument("--skip-blend", action="store_true")
+    ap.add_argument("--mult", type=float, default=None,
+                    help="skip calibration; use this scale multiplier")
     args = ap.parse_args()
 
     import math
@@ -74,8 +76,12 @@ def main():
     cam = Camera(width / height)
     cam.set_position((0.0, 0.0, 2.0))
     cam.set_rotation(math.pi, 0.0)
-    mult, live = calibrate_scale(host, cam, config, capacity, target)
-    print(f"calibrated x{mult:.3f} -> {live/1e6:.2f}M elements", flush=True)
+    if args.mult is not None:
+        mult = args.mult
+        print(f"using fixed scale x{mult:.3f}", flush=True)
+    else:
+        mult, live = calibrate_scale(host, cam, config, capacity, target)
+        print(f"calibrated x{mult:.3f} -> {live/1e6:.2f}M elements", flush=True)
 
     table = jax.device_put(
         GaussianTable(
