@@ -67,7 +67,7 @@ def build_frame_fn(config, capacity, use_pallas_blend):
         if use_pallas_blend:
             from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
 
-            image = blend_kernel.blend_tiles_pallas(
+            image = blend_kernel.blend_tiles_pallas_flat(
                 elements, ranges, frame_data, config
             )
         else:
@@ -143,6 +143,9 @@ def main():
         sort_algorithm=SortAlgorithm.RADIX
         if args.sort == "radix"
         else SortAlgorithm.XLA_SORT,
+        # Perf: skip the reference's pow2 rounding of the capacity (only its
+        # bitonic backend needs it; nearly halves all per-element costs).
+        capacity_pow_two=False,
     )
     use_pallas = on_tpu and not args.no_pallas
 

@@ -68,7 +68,8 @@ def main():
     import math
 
     n_gauss, width, height, target = SCENES[args.scene]
-    config = RenderConfig(width=width, height=height, sort_algorithm=SortAlgorithm.XLA_SORT)
+    config = RenderConfig(width=width, height=height, sort_algorithm=SortAlgorithm.XLA_SORT,
+                          capacity_pow_two=False)
     capacity = config.sort_capacity(n_gauss)
     print(f"{args.scene}: n={n_gauss} capacity={capacity} tiles={config.num_tiles}", flush=True)
 
@@ -160,7 +161,7 @@ def main():
                 cov_inv=frame.cov_inv,
                 screen_pos=frame.screen_pos,
             )
-            img = blend_kernel.blend_tiles_pallas(sorted_elems, ranges, fr2, config)
+            img = blend_kernel.blend_tiles_pallas_flat(sorted_elems, ranges, fr2, config)
             return jnp.sum(img[::97, ::97, 0])
 
         bench("blend(pallas) incl gather", blend_digest, iters=4)

@@ -55,6 +55,20 @@ def test_pallas_blend_matches_xla_tier(scene_cls):
     assert img_pl.max() > 0
 
 
+@pytest.mark.parametrize("scene_cls", [SimpleTestGaussiansScene, TestSortScene])
+def test_flat_blend_matches_tiled_kernel(scene_cls):
+    scene, elements, ranges, frame = _prepare(scene_cls)
+    img_tiled = np.asarray(
+        blend_kernel.blend_tiles_pallas(elements, ranges, frame, CONFIG)
+    )
+    img_flat = np.asarray(
+        blend_kernel.blend_tiles_pallas_flat(elements, ranges, frame, CONFIG)
+    )
+    # Identical math and batch boundaries -> bit-identical results.
+    np.testing.assert_array_equal(img_flat, img_tiled)
+    assert img_flat.max() > 0
+
+
 def test_pallas_blend_matches_oracle():
     scene, elements, ranges, frame = _prepare(SimpleTestGaussiansScene)
     oracle = render_frame_oracle(scene.gaussians(), scene.camera, CONFIG)

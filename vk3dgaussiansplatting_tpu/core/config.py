@@ -98,6 +98,11 @@ class RenderConfig:
     # Pad capacity to the next power of two like the reference (needed by its
     # bitonic path; kept for behavioural parity, optional for radix).
     capacity_pow_two: bool = True
+    # Element-expansion strategy in keygen (identical results):
+    #   "searchsorted" — binary-search slots against the count prefix sums
+    #                    (gather-only; XLA TPU scatter is pathologically slow)
+    #   "repeat"       — jnp.repeat (scatter + cumsum based)
+    expansion_method: str = "searchsorted"
 
     # ----- derived static quantities --------------------------------------
 

@@ -137,29 +137,51 @@ def generate_sort_elements(
     total = cum[-1] if n > 0 else jnp.int32(0)
     offsets = cum - counts  # exclusive
 
-    # Fixed-capacity expansion: slot -> gaussian id.  jnp.repeat with
-    # total_repeat_length both truncates overflow (the reference's drop rule)
-    # and pads the tail; padded slots are masked below.
-    gauss_of_slot = jnp.repeat(
-        jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=capacity
-    )
+    # Fixed-capacity expansion: slot -> gaussian id.  Truncation at capacity
+    # is the reference's overflow-drop rule; padded tail slots are masked
+    # below.  Two equivalent strategies (config.expansion_method):
+    #   * searchsorted: slot j belongs to the first gaussian with
+    #     cum(counts) > j — gather-only binary search (XLA TPU scatter, which
+    #     jnp.repeat uses internally, measured ~100 ms at 8M capacity).
+    #   * repeat: jnp.repeat(total_repeat_length=capacity).
     slot = jnp.arange(capacity, dtype=jnp.int32)
+    if config.expansion_method == "searchsorted":
+        gauss_of_slot = jnp.searchsorted(
+            cum, slot, side="right", method="scan_unrolled"
+        ).astype(jnp.int32)
+        gauss_of_slot = jnp.minimum(gauss_of_slot, n - 1)
+    else:
+        gauss_of_slot = jnp.repeat(
+            jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=capacity
+        )
     live = slot < jnp.minimum(total, capacity)
 
-    local = slot - offsets[gauss_of_slot]
-    gw = w[gauss_of_slot]
+    # One packed gather for all per-slot values (XLA TPU gather cost scales
+    # with the number of gather ops far more than with row width).
+    packed = jnp.stack(
+        [
+            offsets,
+            jnp.maximum(w, 1),
+            extents[:, 0],
+            extents[:, 1],
+            depth.astype(jnp.int32),
+        ],
+        axis=-1,
+    )  # [N, 5] i32
+    g = packed[gauss_of_slot]  # [E, 5]
+    local = slot - g[:, 0]
+    gw_safe = g[:, 1]
     # Row-major within the gaussian's tile rect (InitSortList.comp:133-150).
-    gw_safe = jnp.maximum(gw, 1)
     ly = local // gw_safe
     lx = local - ly * gw_safe
-    tile_x = extents[gauss_of_slot, 0] + lx
-    tile_y = extents[gauss_of_slot, 1] + ly
+    tile_x = g[:, 2] + lx
+    tile_y = g[:, 3] + ly
     tile_key = (tile_y * jnp.int32(config.grid_width) + tile_x).astype(jnp.uint32)
 
     sent = jnp.uint32(SENTINEL)
     elements = SortElements(
         tile=jnp.where(live, tile_key, sent),
-        depth=jnp.where(live, depth[gauss_of_slot], sent),
+        depth=jnp.where(live, g[:, 4].astype(jnp.uint32), sent),
         index=jnp.where(live, gauss_of_slot.astype(jnp.uint32), sent),
         count=jnp.minimum(total, capacity).astype(jnp.uint32),
     )

@@ -57,36 +57,31 @@ def _build_features(elements: SortElements, frame: GaussianFrameData):
     idx = jnp.where(
         elements.index == jnp.uint32(SENTINEL), jnp.uint32(0), elements.index
     ).astype(jnp.int32)
-    sp = frame.screen_pos[idx]
-    ca = frame.color_alpha[idx]
-    ci = frame.cov_inv[idx]
     live = (elements.index != jnp.uint32(SENTINEL)).astype(jnp.float32)
 
-    galpha = ca[:, 3] * live  # dead slots contribute nothing
-    zeros = jnp.zeros_like(galpha)
-    feat = jnp.stack(
+    # Pack per-gaussian features once [N, 10], gather once [E, 10] — one
+    # wide-row gather is far cheaper on TPU than several narrow ones.
+    table = jnp.concatenate(
         [
-            sp[:, 0],
-            sp[:, 1],
-            ci[:, 0],
-            ci[:, 1],
-            ci[:, 2],
-            zeros,
-            ca[:, 0],
-            ca[:, 1],
-            ca[:, 2],
-            galpha,
-            zeros,
-            zeros,
-            zeros,
-            zeros,
-            zeros,
-            zeros,
+            frame.screen_pos,  # gx, gy
+            frame.cov_inv,  # a, b, c
+            jnp.zeros((frame.screen_pos.shape[0], 1), jnp.float32),
+            frame.color_alpha,  # r, g, b, galpha
         ],
-        axis=0,
-    )  # [16, E]
+        axis=-1,
+    )  # [N, 10]
+    rows = table[idx]  # [E, 10]
+    rows = rows.at[:, 9].multiply(live)  # dead slots contribute nothing
+    feat = rows.T  # [10, E]
     e = feat.shape[1]
     pad = (-e) % BATCH_K + BATCH_K
+    feat = jnp.concatenate(
+        [
+            feat,
+            jnp.zeros((NUM_FEATURES - feat.shape[0], e), jnp.float32),
+        ],
+        axis=0,
+    )
     feat = jnp.concatenate(
         [feat, jnp.zeros((NUM_FEATURES, pad), jnp.float32)], axis=1
     )
@@ -219,6 +214,208 @@ def _blend_tile_kernel(
         dma(slot_end, k_end).wait()
 
     out_ref[0, :, :] = jnp.clip(color, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Flat-scheduled variant: one grid step per BATCH (not per tile), with the
+# batch -> (tile, k0) schedule precomputed on device and fed through scalar
+# prefetch.  Eliminates per-tile program overhead, overlaps the feature DMA
+# across tile boundaries, and uses Pallas output-block revisiting (the output
+# index map repeats the same tile for consecutive batches, so the color
+# accumulator lives in the pipelined output block until the tile changes).
+# ---------------------------------------------------------------------------
+
+
+def _flat_schedule(ranges, config: RenderConfig, capacity: int):
+    """Per-frame batch schedule: tile_of_batch, k0_of_batch, counts."""
+    num_tiles = config.num_tiles
+    b_cap = capacity // BATCH_K + num_tiles  # static upper bound
+    starts = ranges[:, 0].astype(jnp.int32)
+    ends = ranges[:, 1].astype(jnp.int32)
+    astart = (starts // BATCH_K) * BATCH_K
+    nb = jnp.where(ends > starts, (ends - astart + BATCH_K - 1) // BATCH_K, 0)
+    cum_nb = jnp.cumsum(nb)
+    nb_total = cum_nb[-1]
+    first_batch = cum_nb - nb
+    b_idx = jnp.arange(b_cap, dtype=jnp.int32)
+    tile_of_batch = jnp.searchsorted(cum_nb, b_idx, side="right").astype(jnp.int32)
+    # Map dummy tail batches to the last real tile so no spurious output-block
+    # transition happens (see kernel notes).
+    has = nb > 0
+    last_real = jnp.max(jnp.where(has, jnp.arange(num_tiles, dtype=jnp.int32), -1))
+    last_real = jnp.maximum(last_real, 0)
+    tile_safe = jnp.where(b_idx < nb_total, tile_of_batch, last_real)
+    k0_of_batch = astart[tile_safe] + (b_idx - first_batch[tile_safe]) * BATCH_K
+    k0_of_batch = jnp.clip(k0_of_batch, 0, capacity)  # dummies: in-bounds DMA
+    is_first = (b_idx == first_batch[tile_safe]) & (b_idx < nb_total)
+    return tile_safe, k0_of_batch, is_first, nb_total, has
+
+
+def _blend_flat_kernel(
+    tile_ref,      # [B] i32 tile of batch
+    k0_ref,        # [B] i32 aligned element offset of batch
+    first_ref,     # [B] i32 (bool) first batch of its tile
+    nbt_ref,       # [1] i32 total live batches
+    meta_ref,      # [T, 2] i32 (start, end) per tile
+    origin_ref,    # [1] i32 strip pixel-row origin
+    feat_hbm,
+    out_ref,       # block [1, 4, P] revisited per tile
+    feat_buf,      # [2, F, K]
+    t_scr,         # [P, 1] transmittance carry (persists across grid steps)
+    dma_sem,
+    *,
+    config: RenderConfig,
+):
+    b = pl.program_id(0)
+    nbt = nbt_ref[0]
+    grid_w = config.grid_width
+    ts = config.tile_size
+    p = ts * ts
+
+    slot = jax.lax.rem(b, 2)
+
+    @pl.when(b == 0)
+    def _():
+        # Warm the pipeline: start batch 0's DMA; zero the out block in case
+        # the whole frame is empty.
+        @pl.when(nbt > 0)
+        def _():
+            dma0 = pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[0], BATCH_K), BATCH_K)],
+                feat_buf.at[0],
+                dma_sem.at[0],
+            )
+            dma0.start()
+
+        @pl.when(nbt == 0)
+        def _():
+            out_ref[0, :, :] = jnp.zeros((4, p), jnp.float32)
+
+    @pl.when(b < nbt)
+    def _():
+        tile = tile_ref[b]
+        start = meta_ref[tile, 0]
+        end = meta_ref[tile, 1]
+        k0 = k0_ref[b]
+
+        # Prefetch next batch while this one computes.
+        @pl.when(b + 1 < nbt)
+        def _():
+            nxt = pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[b + 1], BATCH_K), BATCH_K)],
+                feat_buf.at[1 - slot],
+                dma_sem.at[1 - slot],
+            )
+            nxt.start()
+
+        cur = pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(pl.multiple_of(k0, BATCH_K), BATCH_K)],
+            feat_buf.at[slot],
+            dma_sem.at[slot],
+        )
+        cur.wait()
+
+        is_first = first_ref[b] != 0
+
+        tile_x = tile % grid_w
+        tile_y = tile // grid_w
+        pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        u = (tile_x * ts + pix % ts).astype(jnp.float32)
+        v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
+
+        buf = feat_buf[slot]
+        gx = buf[0:1, :]
+        gy = buf[1:2, :]
+        a = buf[2:3, :]
+        bb = buf[3:4, :]
+        c = buf[4:5, :]
+        galpha = buf[9:10, :]
+
+        dx = gx - u
+        dy = v - gy
+        f = jnp.float32(-0.5) * (a * dx * dx + c * dy * dy) - bb * dx * dy
+        alpha = galpha * jnp.exp(f)
+
+        in_range = (k0 + lane >= start) & (k0 + lane < end)
+        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff)) & in_range
+
+        t_carry = jnp.where(is_first, jnp.float32(1.0), t_scr[:, :])  # [P,1]
+        q = jnp.where(elig, 1.0 - alpha, 1.0)
+        t_excl = t_carry * _exclusive_cumprod_lanes(q)
+        not_done = t_excl >= jnp.float32(config.transmittance_stop)
+        w = jnp.where(elig & not_done, t_excl * alpha, 0.0)
+
+        rgba = buf[6:10, :]
+        contrib = jax.lax.dot_general(
+            rgba,
+            w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4,P]
+        prev = jnp.where(is_first, jnp.zeros((4, p), jnp.float32), out_ref[0, :, :])
+        out_ref[0, :, :] = prev + contrib
+        t_scr[:, :] = t_excl[:, -1:] * q[:, -1:]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def blend_tiles_pallas_flat(
+    elements: SortElements,
+    ranges,
+    frame: GaussianFrameData,
+    config: RenderConfig,
+    origin_y: int | jax.Array = 0,
+):
+    """Flat-scheduled blend; returns float32 [H, W, 3]."""
+    capacity = elements.tile.shape[0]
+    feat = _build_features(elements, frame)
+    tile_of_batch, k0_of_batch, is_first, nb_total, has = _flat_schedule(
+        ranges, config, capacity
+    )
+    meta = jnp.stack(
+        [ranges[:, 0].astype(jnp.int32), ranges[:, 1].astype(jnp.int32)], axis=-1
+    )
+    origin = jnp.asarray(origin_y, jnp.int32).reshape(1)
+    num_tiles = config.num_tiles
+    p = config.tile_size * config.tile_size
+    b_cap = capacity // BATCH_K + num_tiles
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b_cap,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 4, p),
+            lambda b, tile_r, *_: (tile_r[b], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_FEATURES, BATCH_K), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tile_colors = pl.pallas_call(
+        functools.partial(_blend_flat_kernel, config=config),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(
+        tile_of_batch,
+        k0_of_batch,
+        is_first.astype(jnp.int32),
+        nb_total.reshape(1).astype(jnp.int32),
+        meta,
+        origin,
+        feat,
+    )
+    # Tiles with no batches are never visited by the grid: zero them.
+    tile_colors = jnp.where(has[:, None, None], tile_colors, 0.0)
+
+    gh, gw, ts = config.grid_height, config.grid_width, config.tile_size
+    img = jnp.clip(tile_colors[:, :3, :], 0.0, 1.0).reshape(gh, gw, 3, ts, ts)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(gh * ts, gw * ts, 3)
+    return img[: config.height, : config.width]
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

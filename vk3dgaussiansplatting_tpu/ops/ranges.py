@@ -1,19 +1,22 @@
 """Per-tile range extraction — the FindRanges pass.
 
 The reference kernel (FindRanges.comp) runs one thread per sorted element and
-writes segment boundaries where neighbouring tile keys differ.  Here it is a
-vectorized neighbour-diff + two scatters (start/end), which XLA lowers to a
-pair of masked scatter HLOs.
+scatter-writes segment boundaries where neighbouring tile keys differ.  XLA
+TPU lowers scatter pathologically (~35 ms per scatter at 8M elements,
+measured), so the TPU-native formulation inverts it: the sorted tile array is
+*binary-searched per tile* — `start[t] = searchsorted(tiles, t, left)`,
+`end[t] = searchsorted(tiles, t, right)` — num_tiles probes of log2(E) steps,
+microseconds of work, no scatter.
 
-Faithful quirks reproduced:
-  * sentinel tiles (0xFFFFFFFF) never get a range written
-    (FindRanges.comp:32-39);
-  * the *last* slot writes `end = E-1`, not E (FindRanges.comp:63-69) — with
-    sentinel padding the last slot is never a live tile so the off-by-one is
-    unobservable, but a completely full sort list reproduces the reference's
-    behaviour of dropping its final element;
-  * ranges default to (0, 0) — the per-frame buffer clear
-    (Subrenderer.cpp:54-60) — so empty tiles blend nothing.
+Faithful quirks reproduced (see the oracle and FindRanges.comp:44-70):
+  * tiles with no elements report (0, 0) — the reference's cleared buffer
+    (Subrenderer.cpp:54-60) — rather than (s, s) insertion points;
+  * the final slot only ever writes `end = E-1`: when slot E-1 is live its
+    tile's end is clamped to E-1 (dropping that element), and when the E-2/
+    E-1 boundary is a real tile change neither `end[tile[E-2]]` nor
+    `start[tile[E-1]]` is written (they stay 0) because no thread examines
+    that boundary.  Benign under sentinel padding; reproduced exactly for a
+    completely full sort list.
 """
 
 from __future__ import annotations
@@ -28,37 +31,29 @@ def find_ranges(elements: SortElements, num_tiles: int):
     """Compute [num_tiles, 2] uint32 (start, end) ranges from sorted tiles."""
     tile = elements.tile
     e = tile.shape[0]
-    idx = jnp.arange(e, dtype=jnp.uint32)
-    sent = jnp.uint32(SENTINEL)
+    tids = jnp.arange(num_tiles, dtype=jnp.uint32)
 
-    prev = jnp.concatenate([tile[:1], tile[:-1]])  # tile[i-1], dummy at 0
-    # Thread cases exactly as FindRanges.comp:44-70: only *interior* threads
-    # (0 < i < E-1) examine the boundary with their left neighbour; thread 0
-    # writes only a start; thread E-1 writes only `end = E-1` — the E-2/E-1
-    # boundary is never examined (benign under sentinel padding).
-    interior = (idx > 0) & (idx < jnp.uint32(e - 1))
-    is_start = (idx == 0) | (interior & (tile != prev))
-    start_ok = is_start & (tile != sent)
-    # Scatter with out-of-range index -> dropped.
-    start_tgt = jnp.where(start_ok, tile, jnp.uint32(num_tiles))
-    starts = jnp.zeros((num_tiles,), dtype=jnp.uint32).at[start_tgt].set(
-        idx, mode="drop", unique_indices=True
-    )
+    starts = jnp.searchsorted(
+        tile, tids, side="left", method="scan_unrolled"
+    ).astype(jnp.uint32)
+    ends = jnp.searchsorted(
+        tile, tids, side="right", method="scan_unrolled"
+    ).astype(jnp.uint32)
+    empty = starts == ends
+    starts = jnp.where(empty, 0, starts)
+    ends = jnp.where(empty, 0, ends)
 
-    nxt = jnp.concatenate([tile[1:], tile[-1:]])  # tile[i+1], dummy at end
-    # Interior boundary at i writes end[tile[i-1]] = i, i.e. in j = i-1 form:
-    # j <= E-3 with tile[j] != tile[j+1] writes end = j+1.  Slot E-1 writes
-    # end = E-1 for its own tile.
-    last = idx == jnp.uint32(e - 1)
-    end_val = jnp.where(last, jnp.uint32(e - 1), idx + 1)
-    if e >= 3:
-        interior_end = (idx <= jnp.uint32(e - 3)) & (tile != nxt)
-    else:  # e < 3: there are no interior threads
-        interior_end = jnp.zeros_like(last)
-    is_end = last | interior_end
-    end_ok = is_end & (tile != sent)
-    end_tgt = jnp.where(end_ok, tile, jnp.uint32(num_tiles))
-    ends = jnp.zeros((num_tiles,), dtype=jnp.uint32).at[end_tgt].set(
-        end_val, mode="drop", unique_indices=True
-    )
+    if e >= 2:
+        last = tile[e - 1]
+        prev = tile[e - 2]
+        sent = jnp.uint32(SENTINEL)
+        last_live = last != sent
+        # Reference: slot E-1 only writes end = E-1 for its own tile.
+        ends = jnp.where(last_live & (tids == last), jnp.uint32(e - 1), ends)
+        # The E-2/E-1 boundary is never examined: with a real tile change
+        # there, tile[E-2]'s end and tile[E-1]'s start are never written.
+        boundary = last_live & (prev != last)
+        ends = jnp.where(boundary & (tids == prev) & (prev != sent), 0, ends)
+        starts = jnp.where(boundary & (tids == last), 0, starts)
+
     return jnp.stack([starts, ends], axis=-1)
