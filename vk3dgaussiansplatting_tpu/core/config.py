@@ -99,10 +99,13 @@ class RenderConfig:
     # bitonic path; kept for behavioural parity, optional for radix).
     capacity_pow_two: bool = True
     # Element-expansion strategy in keygen (identical results):
+    #   "repeat"       — jnp.repeat (scatter + cumsum based).  Measured 127 ms
+    #                    at 8.4M capacity on v5e — bad, but 4.6x better than
     #   "searchsorted" — binary-search slots against the count prefix sums
-    #                    (gather-only; XLA TPU scatter is pathologically slow)
-    #   "repeat"       — jnp.repeat (scatter + cumsum based)
-    expansion_method: str = "searchsorted"
+    #                    (586 ms at 4.2M: XLA TPU gather is even slower than
+    #                    its scatter).  A Pallas streaming expansion is the
+    #                    planned fix.
+    expansion_method: str = "repeat"
 
     # ----- derived static quantities --------------------------------------
 

@@ -256,7 +256,8 @@ def _blend_flat_kernel(
     k0_ref,        # [B] i32 aligned element offset of batch
     first_ref,     # [B] i32 (bool) first batch of its tile
     nbt_ref,       # [1] i32 total live batches
-    meta_ref,      # [T, 2] i32 (start, end) per tile
+    starts_ref,    # [T] i32 range start per tile
+    ends_ref,      # [T] i32 range end per tile
     origin_ref,    # [1] i32 strip pixel-row origin
     feat_hbm,
     out_ref,       # block [1, 4, P] revisited per tile
@@ -294,8 +295,8 @@ def _blend_flat_kernel(
     @pl.when(b < nbt)
     def _():
         tile = tile_ref[b]
-        start = meta_ref[tile, 0]
-        end = meta_ref[tile, 1]
+        start = starts_ref[tile]
+        end = ends_ref[tile]
         k0 = k0_ref[b]
 
         # Prefetch next batch while this one computes.
@@ -372,16 +373,15 @@ def blend_tiles_pallas_flat(
     tile_of_batch, k0_of_batch, is_first, nb_total, has = _flat_schedule(
         ranges, config, capacity
     )
-    meta = jnp.stack(
-        [ranges[:, 0].astype(jnp.int32), ranges[:, 1].astype(jnp.int32)], axis=-1
-    )
+    starts = ranges[:, 0].astype(jnp.int32)
+    ends = ranges[:, 1].astype(jnp.int32)
     origin = jnp.asarray(origin_y, jnp.int32).reshape(1)
     num_tiles = config.num_tiles
     p = config.tile_size * config.tile_size
     b_cap = capacity // BATCH_K + num_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(b_cap,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -405,7 +405,8 @@ def blend_tiles_pallas_flat(
         k0_of_batch,
         is_first.astype(jnp.int32),
         nb_total.reshape(1).astype(jnp.int32),
-        meta,
+        starts,
+        ends,
         origin,
         feat,
     )
