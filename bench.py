@@ -67,7 +67,7 @@ def build_frame_fn(config, capacity, use_pallas_blend):
         if use_pallas_blend:
             from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
 
-            image = blend_kernel.blend_tiles_pallas_flat(
+            image = blend_kernel.blend_tiles_pallas(
                 elements, ranges, frame_data, config
             )
         else:

@@ -98,13 +98,9 @@ class RenderConfig:
     # Pad capacity to the next power of two like the reference (needed by its
     # bitonic path; kept for behavioural parity, optional for radix).
     capacity_pow_two: bool = True
-    # Element-expansion strategy in keygen (identical results):
-    #   "repeat"       — jnp.repeat (scatter + cumsum based).  Measured 127 ms
-    #                    at 8.4M capacity on v5e — bad, but 4.6x better than
-    #   "searchsorted" — binary-search slots against the count prefix sums
-    #                    (586 ms at 4.2M: XLA TPU gather is even slower than
-    #                    its scatter).  A Pallas streaming expansion is the
-    #                    planned fix.
+    # Element-expansion strategy in keygen: "repeat" (scatter+cumsum+one row
+    # gather; measured best on v5e — searchsorted costs log2(N) gathers at
+    # ~6.5 ns/row each and measured 4.6x slower).
     expansion_method: str = "repeat"
 
     # ----- derived static quantities --------------------------------------

@@ -145,21 +145,16 @@ def generate_sort_elements(
     #     jnp.repeat uses internally, measured ~100 ms at 8M capacity).
     #   * repeat: jnp.repeat(total_repeat_length=capacity).
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    if config.expansion_method == "searchsorted":
-        gauss_of_slot = jnp.searchsorted(
-            cum, slot, side="right", method="scan_unrolled"
-        ).astype(jnp.int32)
-        gauss_of_slot = jnp.minimum(gauss_of_slot, n - 1)
-    else:
-        gauss_of_slot = jnp.repeat(
-            jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=capacity
-        )
     live = slot < jnp.minimum(total, capacity)
 
-    # One packed gather for all per-slot values (XLA TPU gather cost scales
-    # with the number of gather ops far more than with row width).
+    # XLA TPU gathers cost ~6.5 ns/row *independent of row width* (measured),
+    # so the expansion performs exactly ONE row gather: all per-slot values —
+    # including the gaussian id — ride the single take() inside jnp.repeat as
+    # columns of a packed row.  (searchsorted expansion would be log2(N)
+    # gathers: measured 4.6x slower.)
     packed = jnp.stack(
         [
+            jnp.arange(n, dtype=jnp.int32),
             offsets,
             jnp.maximum(w, 1),
             extents[:, 0],
@@ -167,21 +162,22 @@ def generate_sort_elements(
             depth.astype(jnp.int32),
         ],
         axis=-1,
-    )  # [N, 5] i32
-    g = packed[gauss_of_slot]  # [E, 5]
-    local = slot - g[:, 0]
-    gw_safe = g[:, 1]
+    )  # [N, 6] i32
+    g = jnp.repeat(packed, counts, axis=0, total_repeat_length=capacity)
+    gauss_of_slot = g[:, 0]
+    local = slot - g[:, 1]
+    gw_safe = g[:, 2]
     # Row-major within the gaussian's tile rect (InitSortList.comp:133-150).
     ly = local // gw_safe
     lx = local - ly * gw_safe
-    tile_x = g[:, 2] + lx
-    tile_y = g[:, 3] + ly
+    tile_x = g[:, 3] + lx
+    tile_y = g[:, 4] + ly
     tile_key = (tile_y * jnp.int32(config.grid_width) + tile_x).astype(jnp.uint32)
 
     sent = jnp.uint32(SENTINEL)
     elements = SortElements(
         tile=jnp.where(live, tile_key, sent),
-        depth=jnp.where(live, g[:, 4].astype(jnp.uint32), sent),
+        depth=jnp.where(live, g[:, 5].astype(jnp.uint32), sent),
         index=jnp.where(live, gauss_of_slot.astype(jnp.uint32), sent),
         count=jnp.minimum(total, capacity).astype(jnp.uint32),
     )

@@ -64,7 +64,7 @@ def render_frame(
     if use_pallas_blend:
         from .ops.pallas import blend_kernel
 
-        image = blend_kernel.blend_tiles_pallas_flat(elements, ranges, frame, config)
+        image = blend_kernel.blend_tiles_pallas(elements, ranges, frame, config)
     else:
         image = blend_ops.blend_tiles_xla(elements, ranges, frame, config)
     return FrameOutputs(
