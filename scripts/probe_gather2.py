@@ -63,18 +63,6 @@ def main():
     idx2d = jnp.asarray(perm.reshape(K, 1))
     want = np.asarray(x)[perm]
 
-    # (a) take with indices loaded as [K,1] then squeezed inside
-    def k_a(x_ref, i_ref, o_ref):
-        ids = i_ref[:, :]  # [K,1]
-        o_ref[:, :] = jnp.take(x_ref[:, :], ids[:, 0], axis=0, fill_value=0.0)
-
-    f = probe("take axis0 idx[K]", k_a, (x, idx2d),
-              jax.ShapeDtypeStruct((K, C), jnp.float32))
-    if f is not None:
-        got = np.asarray(f(x, idx2d))
-        print("  correct:", np.array_equal(got, want), flush=True)
-        bench("take axis0", f, (x, idx2d))
-
     # (b) take_along_axis axis=0 with [K,C] broadcast indices
     idx_full = jnp.asarray(np.broadcast_to(perm.reshape(K, 1), (K, C)).copy())
 
@@ -100,6 +88,18 @@ def main():
     if f is not None:
         bench("take_along_axis lanes", f, (xl, idxl))
 
+
+    # (a) take with indices loaded as [K,1] then squeezed inside
+    def k_a(x_ref, i_ref, o_ref):
+        ids = i_ref[:, :]  # [K,1]
+        o_ref[:, :] = jnp.take(x_ref[:, :], ids[:, 0], axis=0, fill_value=0.0)
+
+    f = probe("take axis0 idx[K]", k_a, (x, idx2d),
+              jax.ShapeDtypeStruct((K, C), jnp.float32))
+    if f is not None:
+        got = np.asarray(f(x, idx2d))
+        print("  correct:", np.array_equal(got, want), flush=True)
+        bench("take axis0", f, (x, idx2d))
 
 if __name__ == "__main__":
     main()
