@@ -103,3 +103,35 @@ def test_cli_main(tmp_path):
     ])
     assert rc == 0
     assert out.exists()
+
+
+def test_device_report_and_suitability():
+    from vk3dgaussiansplatting_tpu.utils.device import check_suitability, device_report
+
+    info = device_report()
+    assert info["platform"] == "cpu"
+    assert info["num_devices"] == 8
+    assert check_suitability(1)
+    assert not check_suitability(100)
+
+
+def test_radix_tier_dispatch(rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
+    from vk3dgaussiansplatting_tpu.ops.keygen import SortElements
+    from vk3dgaussiansplatting_tpu.ops.sort import sort_elements, sort_elements_xla
+
+    cfg = RenderConfig(width=128, height=128, sort_algorithm=SortAlgorithm.RADIX)
+    e = 1024
+    el = SortElements(
+        tile=jnp.asarray(rng.integers(0, 64, e).astype(np.uint32)),
+        depth=jnp.asarray(rng.integers(0, 1 << 20, e).astype(np.uint32)),
+        index=jnp.arange(e, dtype=jnp.uint32),
+        count=jnp.uint32(e),
+    )
+    a = sort_elements(el, cfg)
+    b = sort_elements_xla(el)
+    np.testing.assert_array_equal(np.asarray(a.tile), np.asarray(b.tile))
+    np.testing.assert_array_equal(np.asarray(a.index), np.asarray(b.index))
