@@ -206,3 +206,36 @@ def test_overflow_drop_rule():
     assert elements.tile.shape[0] == 16
     assert int(np.asarray(elements.count)) == 16  # clamped to capacity
     assert (np.asarray(elements.tile) != SENTINEL).all()
+
+
+def test_far_depth_keys_roundtrip_exactly():
+    """Depth keys >= 2^31 must survive the keygen's packed i32 gather
+    (uint32<->int32 reinterpret is modular, not saturating)."""
+    from vk3dgaussiansplatting_tpu.models.gaussians import concat_tables, make_gaussian
+    from vk3dgaussiansplatting_tpu.oracle.numpy_oracle import depth_key_np
+    from vk3dgaussiansplatting_tpu.render.camera import Camera
+
+    t = concat_tables(
+        [
+            make_gaussian((0.0, 0.0, -60.0), scale=(0.5, 0.5, 0.5)),
+            make_gaussian((0.1, 0.0, -80.0), scale=(0.5, 0.5, 0.5)),
+        ]
+    )
+    cfg = RenderConfig(
+        width=64, height=64, capacity_slack_per_tile=8,
+        sort_algorithm=SortAlgorithm.XLA_SORT,
+    )
+    cam = Camera(1.0)
+    cam.set_rotation(np.pi, 0.0)
+    view, proj = cam.matrices()
+    el, _ = keygen.generate_sort_elements(
+        jax.tree.map(jnp.asarray, t),
+        jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position),
+        cfg, cfg.sort_capacity(2),
+    )
+    d = np.asarray(el.depth)
+    live = np.asarray(el.index) != SENTINEL
+    pv = (t.position @ view[:3, :3].T + view[:3, 3]).astype(np.float32)
+    want = set(depth_key_np(pv[:, 2], cfg).tolist())
+    assert set(d[live].tolist()) == want
+    assert min(want) >= 2**31  # the far-depth regime is actually exercised
