@@ -1,0 +1,130 @@
+"""Pallas monotone-expansion kernel: bit-parity with jnp.repeat.
+
+The kernel (ops/pallas/expand_kernel.py) replaces the expansion step of
+keygen (the reference's atomicAdd allocation, InitSortList.comp:129-150).
+Every case checks exact equality of the expanded columns on live slots
+against the jnp.repeat formulation, including the u32 depth-bit round trip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
+from vk3dgaussiansplatting_tpu.ops import keygen
+from vk3dgaussiansplatting_tpu.ops.pallas import expand_kernel
+from vk3dgaussiansplatting_tpu.scenes.synthetic import (
+    SimpleTestGaussiansScene,
+    TestSortScene,
+)
+
+
+def _reference_expand(cols_np, counts_np, capacity):
+    packed = np.stack(cols_np, axis=-1).astype(np.int32)
+    live = int(min(counts_np.sum(), capacity))
+    out = np.zeros((capacity, packed.shape[1]), np.int32)
+    out[:live] = np.repeat(packed, counts_np, axis=0)[:live]
+    return out, live
+
+
+def _run_case(counts_np, capacity, extra_cols=None, seed=0):
+    rng = np.random.default_rng(seed)
+    n = counts_np.shape[0]
+    cols_np = [np.arange(n, dtype=np.int32)]
+    if extra_cols is None:
+        cols_np.append(rng.integers(-(2**31), 2**31, size=n).astype(np.int32))
+    else:
+        cols_np.extend(extra_cols)
+    want, live = _reference_expand(cols_np, counts_np, capacity)
+    cols, total = expand_kernel.expand_rows(
+        [jnp.asarray(c) for c in cols_np], jnp.asarray(counts_np), capacity
+    )
+    assert int(total) == int(counts_np.sum())
+    got = np.stack([np.asarray(c) for c in cols], axis=-1)
+    np.testing.assert_array_equal(got[:live], want[:live])
+
+
+def test_random_counts_with_culls():
+    rng = np.random.default_rng(7)
+    counts = rng.integers(0, 9, size=700).astype(np.int32)
+    counts[rng.random(700) < 0.4] = 0  # culled gaussians interleaved
+    _run_case(counts, capacity=int(counts.sum()) + 300)
+
+
+def test_long_culled_run_spans_chunks():
+    # A >1024-row fully-culled gap forces the in-kernel while_loop to refill
+    # chunks before finding the covering row.
+    counts = np.ones(3000, np.int32)
+    counts[100:2500] = 0
+    _run_case(counts, capacity=1024)
+
+
+def test_saturated_span_single_tile_gaussians():
+    # >512 one-element gaussians per window: every window's span covers more
+    # than one chunk even with no culls.
+    counts = np.ones(4000, np.int32)
+    _run_case(counts, capacity=4096)
+
+
+def test_overflow_truncation():
+    counts = np.full(300, 11, np.int32)  # total 3300 > capacity
+    _run_case(counts, capacity=1536)
+
+
+def test_dead_tail_and_unaligned_capacity():
+    counts = np.array([5, 0, 3, 0, 0, 2] * 10, np.int32)
+    _run_case(counts, capacity=1000)  # non-multiple of the window size
+
+
+def test_all_culled():
+    counts = np.zeros(600, np.int32)
+    cols, total = expand_kernel.expand_rows(
+        [jnp.arange(600, dtype=jnp.int32)], jnp.asarray(counts), 512
+    )
+    assert int(total) == 0  # nothing live; caller masks every slot
+
+
+def test_u32_depth_bits_survive():
+    # Depth keys >= 2^31 are carried as their i32 bit pattern; the gather
+    # must move bits, not values.
+    rng = np.random.default_rng(3)
+    counts = rng.integers(0, 4, size=400).astype(np.int32)
+    depth_u32 = rng.integers(0, 2**32, size=400, dtype=np.uint64).astype(np.uint32)
+    depth_i32 = depth_u32.view(np.int32)
+    _run_case(counts, capacity=int(counts.sum()) + 128, extra_cols=[depth_i32])
+
+
+@pytest.mark.parametrize("scene_cls", [SimpleTestGaussiansScene, TestSortScene])
+def test_keygen_pallas_expansion_matches_repeat(scene_cls):
+    """Full keygen pass: pallas expansion == repeat expansion, bit for bit."""
+    base = RenderConfig(
+        width=128,
+        height=128,
+        capacity_slack_per_tile=32,
+        sort_algorithm=SortAlgorithm.XLA_SORT,
+    )
+    scene = scene_cls(aspect=base.aspect)
+    scene.init()
+    scene.camera.set_aspect(base.aspect)
+    table = jax.tree.map(jnp.asarray, scene.gaussians())
+    view, proj = scene.camera.matrices()
+    capacity = base.sort_capacity(int(table.position.shape[0]))
+    args = (
+        table,
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(scene.camera.position),
+    )
+    import dataclasses
+
+    el_rep, _ = keygen.generate_sort_elements(
+        *args, dataclasses.replace(base, expansion_method="repeat"), capacity
+    )
+    el_pl, _ = keygen.generate_sort_elements(
+        *args, dataclasses.replace(base, expansion_method="pallas"), capacity
+    )
+    np.testing.assert_array_equal(np.asarray(el_rep.tile), np.asarray(el_pl.tile))
+    np.testing.assert_array_equal(np.asarray(el_rep.depth), np.asarray(el_pl.depth))
+    np.testing.assert_array_equal(np.asarray(el_rep.index), np.asarray(el_pl.index))
+    assert int(el_rep.count) == int(el_pl.count)

@@ -98,10 +98,13 @@ class RenderConfig:
     # Pad capacity to the next power of two like the reference (needed by its
     # bitonic path; kept for behavioural parity, optional for radix).
     capacity_pow_two: bool = True
-    # Element-expansion strategy in keygen: "repeat" (scatter+cumsum+one row
-    # gather; measured best on v5e — searchsorted costs log2(N) gathers at
-    # ~6.5 ns/row each and measured 4.6x slower).
-    expansion_method: str = "repeat"
+    # Element-expansion strategy in keygen:
+    #   "pallas"  — windowed Pallas kernel (ops/pallas/expand_kernel.py):
+    #               compare-count + vreg crossbar gathers; no XLA scatter,
+    #               no per-row gather.  Production tier on TPU.
+    #   "repeat"  — jnp.repeat (XLA scatter + one ~6.5 ns/row gather).
+    #   "auto"    — pallas on TPU, repeat elsewhere.
+    expansion_method: str = "auto"
 
     # ----- derived static quantities --------------------------------------
 

@@ -147,37 +147,50 @@ def generate_sort_elements(
     slot = jnp.arange(capacity, dtype=jnp.int32)
     live = slot < jnp.minimum(total, capacity)
 
-    # XLA TPU gathers cost ~6.5 ns/row *independent of row width* (measured),
-    # so the expansion performs exactly ONE row gather: all per-slot values —
-    # including the gaussian id — ride the single take() inside jnp.repeat as
-    # columns of a packed row.  (searchsorted expansion would be log2(N)
-    # gathers: measured 4.6x slower.)
-    packed = jnp.stack(
-        [
-            jnp.arange(n, dtype=jnp.int32),
-            offsets,
-            jnp.maximum(w, 1),
-            extents[:, 0],
-            extents[:, 1],
-            depth.astype(jnp.int32),
-        ],
-        axis=-1,
-    )  # [N, 6] i32
-    g = jnp.repeat(packed, counts, axis=0, total_repeat_length=capacity)
-    gauss_of_slot = g[:, 0]
-    local = slot - g[:, 1]
-    gw_safe = g[:, 2]
+    packed_cols = [
+        jnp.arange(n, dtype=jnp.int32),
+        offsets,
+        jnp.maximum(w, 1),
+        extents[:, 0],
+        extents[:, 1],
+        depth.astype(jnp.int32),
+    ]
+    method = config.expansion_method
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "repeat"
+    if method == "pallas":
+        # Pallas monotone-expansion kernel (ops/pallas/expand_kernel.py):
+        # windowed compare-count + vreg crossbar gathers; avoids both the
+        # XLA scatter inside jnp.repeat (~100 ms at 8M) and its ~6.5 ns/row
+        # gather.  Bit-identical to the repeat path (tests/test_expand.py).
+        from .pallas import expand_kernel
+
+        cols, _ = expand_kernel.expand_rows(packed_cols, counts, capacity)
+    else:
+        # XLA tier: gathers cost ~6.5 ns/row *independent of row width*
+        # (measured), so the expansion performs exactly ONE row gather: all
+        # per-slot values — including the gaussian id — ride the single
+        # take() inside jnp.repeat as columns of a packed row.
+        # (searchsorted expansion would be log2(N) gathers: 4.6x slower.)
+        packed = jnp.stack(packed_cols, axis=-1)  # [N, 6] i32
+        g = jnp.repeat(packed, counts, axis=0, total_repeat_length=capacity)
+        cols = [g[:, k] for k in range(len(packed_cols))]
+    gauss_of_slot = cols[0]
+    local = slot - cols[1]
+    # Dead slots may carry zero rows out of the pallas expansion; keep the
+    # (masked-out) division defined.
+    gw_safe = jnp.maximum(cols[2], 1)
     # Row-major within the gaussian's tile rect (InitSortList.comp:133-150).
     ly = local // gw_safe
     lx = local - ly * gw_safe
-    tile_x = g[:, 3] + lx
-    tile_y = g[:, 4] + ly
+    tile_x = cols[3] + lx
+    tile_y = cols[4] + ly
     tile_key = (tile_y * jnp.int32(config.grid_width) + tile_x).astype(jnp.uint32)
 
     sent = jnp.uint32(SENTINEL)
     elements = SortElements(
         tile=jnp.where(live, tile_key, sent),
-        depth=jnp.where(live, g[:, 5].astype(jnp.uint32), sent),
+        depth=jnp.where(live, cols[5].astype(jnp.uint32), sent),
         index=jnp.where(live, gauss_of_slot.astype(jnp.uint32), sent),
         count=jnp.minimum(total, capacity).astype(jnp.uint32),
     )
