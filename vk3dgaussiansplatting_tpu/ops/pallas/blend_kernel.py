@@ -61,10 +61,17 @@ def _build_features(elements: SortElements, frame: GaussianFrameData):
 
     # Pack per-gaussian features once [N, 10], gather once [E, 10] — one
     # wide-row gather is far cheaper on TPU than several narrow ones.
+    # The covariance rows are pre-scaled (a' = -a/2, b' = -b, c' = -c/2) so
+    # the kernel evaluates f = a'dx^2 + b'dxdy + c'dy^2 directly; scaling by
+    # powers of two commutes exactly through float rounding, so the result
+    # is bit-identical to the GLSL form -0.5(a dx^2 + c dy^2) - b dx dy
+    # (RenderGaussians.comp:117-124).
+    cov_scaled = frame.cov_inv * jnp.float32(-0.5)
+    cov_scaled = cov_scaled.at[:, 1].multiply(jnp.float32(2.0))
     table = jnp.concatenate(
         [
             frame.screen_pos,  # gx, gy
-            frame.cov_inv,  # a, b, c
+            cov_scaled,  # a' = -a/2, b' = -b, c' = -c/2
             jnp.zeros((frame.screen_pos.shape[0], 1), jnp.float32),
             frame.color_alpha,  # r, g, b, galpha
         ],
@@ -161,20 +168,23 @@ def _blend_tile_kernel(
 
         gx = buf[0:1, :]  # [1,K]
         gy = buf[1:2, :]
-        a = buf[2:3, :]
-        b = buf[3:4, :]
-        c = buf[4:5, :]
-        galpha = buf[9:10, :]
+        a = buf[2:3, :]  # pre-scaled -a/2 (see _build_features)
+        b = buf[3:4, :]  # pre-scaled -b
+        c = buf[4:5, :]  # pre-scaled -c/2
+        # Fold the [start, end) range mask into galpha: out-of-range lanes
+        # get alpha = 0 (or NaN from garbage, which also fails the cutoff
+        # compare), removing one [P,K] AND from the eligibility chain.
+        in_range = (k0 + lane >= start) & (k0 + lane < end)  # [1,K]
+        galpha = jnp.where(in_range, buf[9:10, :], 0.0)
 
         # Direct per-pair evaluation (RenderGaussians.comp:117-124):
         # dx = gx - u, dy = v - gy (the evalX.y = -evalX.y flip).
         dx = gx - u  # [P,K]
         dy = v - gy
-        f = jnp.float32(-0.5) * (a * dx * dx + c * dy * dy) - b * dx * dy
+        f = (a * dx * dx + c * dy * dy) + b * dx * dy
         alpha = galpha * jnp.exp(f)
 
-        in_range = (k0 + lane >= start) & (k0 + lane < end)  # [1,K]
-        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff)) & in_range
+        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff))
 
         q = jnp.where(elig, 1.0 - alpha, 1.0)  # [P,K]
         t_excl = t_carry * _exclusive_cumprod_lanes(q)
@@ -328,18 +338,18 @@ def _blend_flat_kernel(
         buf = feat_buf[slot]
         gx = buf[0:1, :]
         gy = buf[1:2, :]
-        a = buf[2:3, :]
-        bb = buf[3:4, :]
-        c = buf[4:5, :]
-        galpha = buf[9:10, :]
+        a = buf[2:3, :]  # pre-scaled -a/2
+        bb = buf[3:4, :]  # pre-scaled -b
+        c = buf[4:5, :]  # pre-scaled -c/2
+        in_range = (k0 + lane >= start) & (k0 + lane < end)
+        galpha = jnp.where(in_range, buf[9:10, :], 0.0)
 
         dx = gx - u
         dy = v - gy
-        f = jnp.float32(-0.5) * (a * dx * dx + c * dy * dy) - bb * dx * dy
+        f = (a * dx * dx + c * dy * dy) + bb * dx * dy
         alpha = galpha * jnp.exp(f)
 
-        in_range = (k0 + lane >= start) & (k0 + lane < end)
-        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff)) & in_range
+        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff))
 
         t_carry = jnp.where(is_first, jnp.float32(1.0), t_scr[:, :])  # [P,1]
         q = jnp.where(elig, 1.0 - alpha, 1.0)
