@@ -44,6 +44,11 @@ from ..keygen import GaussianFrameData, SortElements
 # Elements per batch (the reference's ENTIRE_GROUP_SIZE=256 cooperative
 # batch, widened to fill VPU lanes).
 BATCH_K = 512
+# Batch start alignment.  DMA lane slices need 128-lane alignment; aligning
+# only to 128 (not BATCH_K) cuts the wasted leading lanes of each tile's
+# first batch from ~256 to ~64 on average — at 1080p (8160 tiles) that is
+# ~25% of all pair evaluations.
+ALIGN_K = 128
 NUM_FEATURES = 16  # feature rows: gx, gy, a, b, c, pad, r, g, b, galpha, pad*6
 
 
@@ -139,14 +144,14 @@ def _blend_tile_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
 
     def dma(slot, k0):
-        k0a = pl.multiple_of(k0, BATCH_K)
+        k0a = pl.multiple_of(k0, ALIGN_K)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(k0a, BATCH_K)],
             feat_buf.at[slot],
             dma_sem.at[slot],
         )
 
-    first_k0 = (start // BATCH_K) * BATCH_K  # K-aligned first batch
+    first_k0 = (start // ALIGN_K) * ALIGN_K  # lane-aligned first batch
 
     # Double-buffered prefetch: batch i's DMA is issued while batch i-1
     # computes (the TPU version of the reference's cooperative staging,
@@ -239,10 +244,14 @@ def _blend_tile_kernel(
 def _flat_schedule(ranges, config: RenderConfig, capacity: int):
     """Per-frame batch schedule: tile_of_batch, k0_of_batch, counts."""
     num_tiles = config.num_tiles
-    b_cap = capacity // BATCH_K + num_tiles  # static upper bound
+    # Static upper bound on total batches: sum_t ceil((r_t + lead_t)/K) with
+    # lead_t <= ALIGN_K*(K/ALIGN_K - 1)/... conservatively each tile adds at
+    # most 2 partial batches (leading-alignment waste + trailing remainder)
+    # on top of its r_t/K full ones.
+    b_cap = capacity // BATCH_K + 2 * num_tiles
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
-    astart = (starts // BATCH_K) * BATCH_K
+    astart = (starts // ALIGN_K) * ALIGN_K
     nb = jnp.where(ends > starts, (ends - astart + BATCH_K - 1) // BATCH_K, 0)
     cum_nb = jnp.cumsum(nb)
     nb_total = cum_nb[-1]
@@ -292,7 +301,7 @@ def _blend_flat_kernel(
         @pl.when(nbt > 0)
         def _():
             dma0 = pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[0], BATCH_K), BATCH_K)],
+                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[0], ALIGN_K), BATCH_K)],
                 feat_buf.at[0],
                 dma_sem.at[0],
             )
@@ -313,14 +322,14 @@ def _blend_flat_kernel(
         @pl.when(b + 1 < nbt)
         def _():
             nxt = pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[b + 1], BATCH_K), BATCH_K)],
+                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[b + 1], ALIGN_K), BATCH_K)],
                 feat_buf.at[1 - slot],
                 dma_sem.at[1 - slot],
             )
             nxt.start()
 
         cur = pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(pl.multiple_of(k0, BATCH_K), BATCH_K)],
+            feat_hbm.at[:, pl.ds(pl.multiple_of(k0, ALIGN_K), BATCH_K)],
             feat_buf.at[slot],
             dma_sem.at[slot],
         )
@@ -328,45 +337,57 @@ def _blend_flat_kernel(
 
         is_first = first_ref[b] != 0
 
-        tile_x = tile % grid_w
-        tile_y = tile // grid_w
-        pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        u = (tile_x * ts + pix % ts).astype(jnp.float32)
-        v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
+        # Saturation skip (the reference's per-pixel early-out,
+        # RenderGaussians.comp:136-142, at batch granularity): once every
+        # pixel's running transmittance is below the stop threshold, the
+        # batch contributes exactly 0 (w is masked by not_done) and T only
+        # decreases, so the entire compute can be skipped.  The first batch
+        # of a tile resets T and must always run.
+        saturated = jnp.max(t_scr[:, :]) < jnp.float32(config.transmittance_stop)
 
-        buf = feat_buf[slot]
-        gx = buf[0:1, :]
-        gy = buf[1:2, :]
-        a = buf[2:3, :]  # pre-scaled -a/2
-        bb = buf[3:4, :]  # pre-scaled -b
-        c = buf[4:5, :]  # pre-scaled -c/2
-        in_range = (k0 + lane >= start) & (k0 + lane < end)
-        galpha = jnp.where(in_range, buf[9:10, :], 0.0)
+        @pl.when(is_first | jnp.logical_not(saturated))
+        def _():
+            tile_x = tile % grid_w
+            tile_y = tile // grid_w
+            pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            u = (tile_x * ts + pix % ts).astype(jnp.float32)
+            v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
 
-        dx = gx - u
-        dy = v - gy
-        f = (a * dx * dx + c * dy * dy) + bb * dx * dy
-        alpha = galpha * jnp.exp(f)
+            buf = feat_buf[slot]
+            gx = buf[0:1, :]
+            gy = buf[1:2, :]
+            a = buf[2:3, :]  # pre-scaled -a/2
+            bb = buf[3:4, :]  # pre-scaled -b
+            c = buf[4:5, :]  # pre-scaled -c/2
+            in_range = (k0 + lane >= start) & (k0 + lane < end)
+            galpha = jnp.where(in_range, buf[9:10, :], 0.0)
 
-        elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff))
+            dx = gx - u
+            dy = v - gy
+            f = (a * dx * dx + c * dy * dy) + bb * dx * dy
+            alpha = galpha * jnp.exp(f)
 
-        t_carry = jnp.where(is_first, jnp.float32(1.0), t_scr[:, :])  # [P,1]
-        q = jnp.where(elig, 1.0 - alpha, 1.0)
-        t_excl = t_carry * _exclusive_cumprod_lanes(q)
-        not_done = t_excl >= jnp.float32(config.transmittance_stop)
-        w = jnp.where(elig & not_done, t_excl * alpha, 0.0)
+            elig = (f <= 0.0) & (alpha >= jnp.float32(config.alpha_cutoff))
 
-        rgba = buf[6:10, :]
-        contrib = jax.lax.dot_general(
-            rgba,
-            w,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [4,P]
-        prev = jnp.where(is_first, jnp.zeros((4, p), jnp.float32), out_ref[0, :, :])
-        out_ref[0, :, :] = prev + contrib
-        t_scr[:, :] = t_excl[:, -1:] * q[:, -1:]
+            t_carry = jnp.where(is_first, jnp.float32(1.0), t_scr[:, :])  # [P,1]
+            q = jnp.where(elig, 1.0 - alpha, 1.0)
+            t_excl = t_carry * _exclusive_cumprod_lanes(q)
+            not_done = t_excl >= jnp.float32(config.transmittance_stop)
+            w = jnp.where(elig & not_done, t_excl * alpha, 0.0)
+
+            rgba = buf[6:10, :]
+            contrib = jax.lax.dot_general(
+                rgba,
+                w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [4,P]
+            prev = jnp.where(
+                is_first, jnp.zeros((4, p), jnp.float32), out_ref[0, :, :]
+            )
+            out_ref[0, :, :] = prev + contrib
+            t_scr[:, :] = t_excl[:, -1:] * q[:, -1:]
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -388,7 +409,7 @@ def blend_tiles_pallas_flat(
     origin = jnp.asarray(origin_y, jnp.int32).reshape(1)
     num_tiles = config.num_tiles
     p = config.tile_size * config.tile_size
-    b_cap = capacity // BATCH_K + num_tiles
+    b_cap = capacity // BATCH_K + 2 * num_tiles  # must match _flat_schedule
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,

@@ -30,14 +30,38 @@ from ..core.config import RenderConfig, SortAlgorithm
 from .keygen import SortElements
 
 
-def sort_elements_xla(elements: SortElements) -> SortElements:
-    """Stable lexicographic sort by (tile, depth) via XLA's sort HLO."""
-    tile, depth, index = jax.lax.sort(
-        (elements.tile, elements.depth, elements.index),
-        dimension=0,
-        num_keys=2,
-        is_stable=True,
-    )
+def sort_elements_xla(
+    elements: SortElements, num_tiles: int | None = None
+) -> SortElements:
+    """Stable lexicographic sort by (tile, depth) via XLA's sort HLO.
+
+    When the tile-id range provably fits in 16 bits (every benchmark
+    resolution: 8160 tiles at 1080p), the tile key is sorted as uint16 —
+    XLA's TPU sort cost is ~bytes-proportional, so this trims 12 -> 10
+    bytes/element.  Order is unchanged: live tiles are < 0xFFFF and the
+    0xFFFFFFFF sentinel maps to 0xFFFF, still the maximum.
+    """
+    if num_tiles is not None and num_tiles < 0xFFFF:
+        tile16, depth, index = jax.lax.sort(
+            (elements.tile.astype(jnp.uint16), elements.depth, elements.index),
+            dimension=0,
+            num_keys=2,
+            is_stable=True,
+        )
+        from ..core.config import SENTINEL
+
+        tile = jnp.where(
+            tile16 == jnp.uint16(0xFFFF),
+            jnp.uint32(SENTINEL),
+            tile16.astype(jnp.uint32),
+        )
+    else:
+        tile, depth, index = jax.lax.sort(
+            (elements.tile, elements.depth, elements.index),
+            dimension=0,
+            num_keys=2,
+            is_stable=True,
+        )
     return SortElements(tile=tile, depth=depth, index=index, count=elements.count)
 
 
@@ -50,7 +74,7 @@ def sort_elements(
         on_tpu = jax.default_backend() == "tpu"
         algo = SortAlgorithm.RADIX if on_tpu else SortAlgorithm.XLA_SORT
     if algo == SortAlgorithm.XLA_SORT:
-        return sort_elements_xla(elements)
+        return sort_elements_xla(elements, num_tiles=config.num_tiles)
     if algo == SortAlgorithm.BITONIC:
         from .bitonic import sort_elements_bitonic
 
