@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import interpret_mode
+
 from ...core.config import SENTINEL, RenderConfig
 from ..keygen import GaussianFrameData, SortElements
 
@@ -430,7 +432,7 @@ def blend_tiles_pallas_flat(
         functools.partial(_blend_flat_kernel, config=config),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32),
         grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret_mode(),
     )(
         tile_of_batch,
         k0_of_batch,
@@ -485,7 +487,7 @@ def blend_tiles_pallas(
         functools.partial(_blend_tile_kernel, config=config),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32),
         grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret_mode(),
     )(starts, ends, origin, feat)
 
     gh, gw, ts = config.grid_height, config.grid_width, config.tile_size

@@ -46,6 +46,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import interpret_mode
+
 # Slots per window == source rows per chunk.  One lane-group is 128; the
 # vreg crossbar gathers within 128 lanes, so both are decomposed into
 # 512/128 = 4 static groups.
@@ -165,8 +167,13 @@ def _expand_kernel(
         # carry i1 vectors through `lax.while_loop` (scf.yield legalization
         # fails on vpad'd i1).
         cum_row = vbuf[CUM_ROW : CUM_ROW + 1, :]  # [1, W]
-        cum_t = cum_row.T  # [W rows, 1]
-        coarse_t = cum_t[SUBGROUP - 1 :: SUBGROUP, :]  # [W/8, 1] group maxima
+        # Group maxima cum[8g+7] as max over a [W/8, 8] reshape: cum is
+        # non-decreasing, so max == last element.  (A strided slice
+        # cum.T[7::8] lowers to a Mosaic gather with mismatched shapes and
+        # fails; reshape+max lowers clean — probed on this jaxlib.)
+        coarse_t = jnp.max(
+            cum_row.reshape(WINDOW // SUBGROUP, SUBGROUP), axis=1, keepdims=True
+        )  # [W/8, 1] group maxima
         cmask = (coarse_t <= j_eff).astype(jnp.int32)  # [W/8, W slots]
         c = jnp.sum(cmask, axis=0, keepdims=True)  # [1, W] full groups
         c_cl = jnp.minimum(c, jnp.int32(WINDOW // SUBGROUP - 1))
@@ -263,7 +270,7 @@ def expand_rows(packed_cols, counts, capacity: int):
         functools.partial(_expand_kernel, n_pad=n_pad),
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, num_windows * WINDOW), jnp.int32),
         grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret_mode(),
     )(sw, total.reshape(1), vals)
 
     cols = [out[i, :capacity] for i in range(len(packed_cols))]
