@@ -32,6 +32,11 @@ import sys
 # interpret_mode() is read at trace time and traces are cached per process.
 os.environ["VK3D_PALLAS_COMPILED"] = "1"
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The distributed lowering needs a (virtual) 4-device mesh.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
 
 import jax  # noqa: E402
 
@@ -62,11 +67,20 @@ CONFIG = RenderConfig(
 )
 
 
-def _lower_tpu(fn, *args, name):
-    """Trace + lower `fn(*args)` for the TPU target; raise on failure."""
+def _lower_tpu(fn, *args, name, forbid_scatter=False):
+    """Trace + lower `fn(*args)` for the TPU target; raise on failure.
+
+    With forbid_scatter, also assert the lowered module contains no
+    stablehlo.scatter (CLAUDE.md: XLA scatter is pathological on this TPU
+    stack — never in the frame path)."""
     exported = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+    if forbid_scatter:
+        n = exported.mlir_module().count("stablehlo.scatter")
+        if n:
+            raise AssertionError(f"{name}: {n} stablehlo.scatter ops in TPU HLO")
     n_bytes = len(exported.mlir_module_serialized)
-    print(f"  ok  {name}  ({n_bytes} bytes stablehlo)")
+    print(f"  ok  {name}  ({n_bytes} bytes stablehlo"
+          + (", scatter-free" if forbid_scatter else "") + ")")
 
 
 def _abstract(x):
@@ -137,6 +151,27 @@ def main():
         mat,
         cam,
         name="render_frame[pallas expand+blend]",
+        forbid_scatter=True,
+    )
+
+    # --- distributed frame program (4-device mesh) -------------------------
+    from vk3dgaussiansplatting_tpu.parallel import dist as dist_mod
+    from vk3dgaussiansplatting_tpu.parallel.mesh import make_mesh
+
+    ndev = 4
+    mesh = make_mesh(ndev)
+    dc = dist_mod.plan_distribution(CONFIG, n, ndev)
+    dist_fn = dist_mod.make_distributed_render(
+        mesh, CONFIG, dc, use_pallas_blend=True
+    )
+    _lower_tpu(
+        dist_fn,
+        table,
+        mat,
+        mat,
+        cam,
+        name=f"distributed_render[{ndev}dev]",
+        forbid_scatter=True,
     )
     print("lowering gate: ALL OK")
 

@@ -125,8 +125,14 @@ def generate_sort_elements(
         jnp.stack([cov2d[:, 2], -cov2d[:, 1], cov2d[:, 0]], axis=-1)
         * det_inv[:, None]
     )
-    color_alpha = color_alpha.at[:, 3].set(
-        jnp.where(det_ok, color_alpha[:, 3], jnp.float32(0.0))
+    # (concatenate, not .at[:, 3].set — column-indexed updates lower to an
+    # XLA scatter, banned in the frame path.)
+    color_alpha = jnp.concatenate(
+        [
+            color_alpha[:, :3],
+            jnp.where(det_ok[:, None], color_alpha[:, 3:4], jnp.float32(0.0)),
+        ],
+        axis=1,
     )
 
     # --- element allocation (scan replaces atomicAdd) ---------------------

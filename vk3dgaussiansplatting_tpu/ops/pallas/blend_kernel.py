@@ -73,8 +73,10 @@ def _build_features(elements: SortElements, frame: GaussianFrameData):
     # powers of two commutes exactly through float rounding, so the result
     # is bit-identical to the GLSL form -0.5(a dx^2 + c dy^2) - b dx dy
     # (RenderGaussians.comp:117-124).
-    cov_scaled = frame.cov_inv * jnp.float32(-0.5)
-    cov_scaled = cov_scaled.at[:, 1].multiply(jnp.float32(2.0))
+    # Column-wise scales as one broadcast multiply (-b == -0.5*b*2 exactly;
+    # .at[:, 1].multiply would lower to an XLA scatter, banned in the frame
+    # path).
+    cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
     table = jnp.concatenate(
         [
             frame.screen_pos,  # gx, gy
@@ -85,7 +87,10 @@ def _build_features(elements: SortElements, frame: GaussianFrameData):
         axis=-1,
     )  # [N, 10]
     rows = table[idx]  # [E, 10]
-    rows = rows.at[:, 9].multiply(live)  # dead slots contribute nothing
+    # Dead slots contribute nothing: zero galpha (col 9) via concatenate —
+    # a column .at[].multiply lowers to an XLA scatter, banned in the frame
+    # path.
+    rows = jnp.concatenate([rows[:, :9], rows[:, 9:10] * live[:, None]], axis=1)
     feat = rows.T  # [10, E]
     e = feat.shape[1]
     pad = (-e) % BATCH_K + BATCH_K

@@ -111,50 +111,56 @@ def _bucket_by_destination(
     elements: SortElements, dist: DistConfig, config: RenderConfig
 ):
     """Pack local elements into [ndev * slab] slots grouped by destination
-    device (tile-row owner), preserving gaussian-id order within each slab."""
+    device (tile-row owner), preserving gaussian-id order within each slab.
+
+    Scatter-free (CLAUDE.md: XLA scatter is pathological on this stack —
+    compiles >15 min and runs ~10 ms/M): one stable multi-operand sort keyed
+    by destination groups the elements, `searchsorted` locates each
+    destination's run, and ONE packed row gather materializes the slabs.
+    Output slot (d, r) reads sorted position start_d + r when r < len_d and
+    is sentinel otherwise; slab overflow (r >= slab never reached because
+    slot r only ranges [0, slab)) drops the run's tail, mirroring the
+    reference's sort-list overflow rule (InitSortList.comp:143).
+    """
     ndev = dist.num_devices
     slab = dist.slab_capacity
     tiles_per_dev = dist.tile_rows_per_device * config.grid_width
 
     live = elements.tile != jnp.uint32(SENTINEL)
     dest = jnp.where(
-        live, (elements.tile // tiles_per_dev).astype(jnp.int32), ndev
+        live, (elements.tile // tiles_per_dev).astype(jnp.uint32), jnp.uint32(ndev)
     )
-    # Stable sort by destination keeps allocation order within each bucket.
-    order = jnp.argsort(dest, stable=True)
-    dest_s = dest[order]
-    tile_s = elements.tile[order]
-    depth_s = elements.depth[order]
-    index_s = elements.index[order]
-
-    # Rank within destination bucket = position - first position of bucket.
-    e = dest_s.shape[0]
-    idxs = jnp.arange(e, dtype=jnp.int32)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), dest_s[1:] != dest_s[:-1]]
+    # Stable sort by destination keeps allocation order within each bucket;
+    # the payload columns ride the sort (cheaper than argsort + N gathers).
+    dest_s, tile_s, depth_s, index_s = jax.lax.sort(
+        (dest, elements.tile, elements.depth, elements.index),
+        dimension=0,
+        num_keys=1,
+        is_stable=True,
     )
-    bucket_start = jnp.where(is_first, idxs, 0)
-    bucket_start = jax.lax.associative_scan(jnp.maximum, bucket_start)
-    rank = idxs - bucket_start
 
-    slot = dest_s * slab + rank
-    valid = (dest_s < ndev) & (rank < slab)
-    slot = jnp.where(valid, slot, ndev * slab)  # dropped -> OOB
+    # Run start of each destination in the sorted order.
+    starts = jnp.searchsorted(
+        dest_s, jnp.arange(ndev + 1, dtype=jnp.uint32), side="left"
+    ).astype(jnp.int32)  # [ndev+1]
 
+    # Output slot (d, r) <- sorted position starts[d] + r, masked past the run.
+    d_of = jnp.arange(ndev * slab, dtype=jnp.int32) // slab
+    r_of = jnp.arange(ndev * slab, dtype=jnp.int32) % slab
+    src = starts[d_of] + r_of
+    in_run = src < starts[d_of + 1]
+    src = jnp.where(in_run, src, 0)
+
+    # ONE wide-row gather (three u32 columns packed) — TPU gather cost is
+    # per-row, independent of width.
+    packed = jnp.stack([tile_s, depth_s, index_s], axis=-1)  # [E, 3]
+    out = packed[src]  # [ndev*slab, 3]
     sent = jnp.uint32(SENTINEL)
-    out_tile = jnp.full((ndev * slab + 1,), sent, jnp.uint32).at[slot].set(
-        tile_s, mode="drop"
-    )[:-1]
-    out_depth = jnp.full((ndev * slab + 1,), sent, jnp.uint32).at[slot].set(
-        depth_s, mode="drop"
-    )[:-1]
-    out_index = jnp.full((ndev * slab + 1,), sent, jnp.uint32).at[slot].set(
-        index_s, mode="drop"
-    )[:-1]
+    out = jnp.where(in_run[:, None], out, sent)
     return (
-        out_tile.reshape(ndev, slab),
-        out_depth.reshape(ndev, slab),
-        out_index.reshape(ndev, slab),
+        out[:, 0].reshape(ndev, slab),
+        out[:, 1].reshape(ndev, slab),
+        out[:, 2].reshape(ndev, slab),
     )
 
 
@@ -266,5 +272,9 @@ def make_distributed_render(
         mesh=mesh,
         in_specs=(table_spec, P(), P(), P()),
         out_specs=P(SHARD_AXIS),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # without this the pallas expand/blend tiers cannot trace under
+        # shard_map (jax >= 0.7 check_vma default).
+        check_vma=False,
     )
     return jax.jit(fn)
