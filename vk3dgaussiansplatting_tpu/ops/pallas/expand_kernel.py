@@ -53,37 +53,11 @@ from .common import interpret_mode
 # 512/128 = 4 static groups.
 WINDOW = 512
 GROUP = 128
-SUBGROUP = 8  # coarse-count group size (one sublane batch)
 NUM_ROWS = 8  # 7 value rows + the cumsum control row
 CUM_ROW = NUM_ROWS - 1
 MAX_COLS = NUM_ROWS - 1
 
 _HUGE = 2**31 - 1
-
-
-def _band_gather(cum_row, band_idx):
-    """out[s, j] = cum_row[0, band_idx[s, j]] via the 128-lane crossbar.
-
-    cum_row: [1, WINDOW] i32; band_idx: [SUBGROUP, WINDOW] i32 in [0, WINDOW).
-    Same group decomposition as _gather_groups (Mosaic's dynamic_gather works
-    within 128-lane vreg groups).
-    """
-    out_groups = []
-    for g in range(WINDOW // GROUP):
-        sl = slice(g * GROUP, (g + 1) * GROUP)
-        idx_g = band_idx[:, sl]  # [8, GROUP]
-        acc_g = jnp.zeros((SUBGROUP, GROUP), jnp.int32)
-        for h in range(WINDOW // GROUP):
-            lidx = idx_g - jnp.int32(h * GROUP)
-            valid = (lidx >= 0) & (lidx < GROUP)
-            lidx_c = jnp.clip(lidx, 0, GROUP - 1)
-            src = jnp.broadcast_to(
-                cum_row[:, h * GROUP : (h + 1) * GROUP], (SUBGROUP, GROUP)
-            )
-            gth = jnp.take_along_axis(src, lidx_c, axis=1)
-            acc_g = jnp.where(valid, gth, acc_g)
-        out_groups.append(acc_g)
-    return jnp.concatenate(out_groups, axis=1)
 
 
 def _gather_groups(vals_buf, local, found):
@@ -155,33 +129,19 @@ def _expand_kernel(
     j_eff = jnp.maximum(jnp.minimum(j, total - 1), 0)  # [1, W]
 
     def process_chunk(vbuf, searching, acc):
-        # cnt[j] = #{rows i in chunk : cum[i] <= j_eff[j]}.  Two-level count:
-        # a stride-8 coarse compare finds the covering 8-row group (64 x W
-        # matrix instead of W x W), then the group's 8 cum values are pulled
-        # to sublanes with the lane crossbar and counted directly.  Exact for
-        # any non-decreasing cum: group g is fully <= j iff its last row
-        # (cum[8g+7]) is <= j, so cnt = 8*c + #{s: cum[8c+s] <= j}; when all
-        # 64 groups are <= (c == 64), clamping to the last group still yields
-        # 8*63 + 8 == WINDOW.  Cuts the count's VPU work ~4x vs the flat
-        # [W x W] matrix.  `searching` is an i32 0/1 mask: Mosaic cannot
-        # carry i1 vectors through `lax.while_loop` (scf.yield legalization
-        # fails on vpad'd i1).
-        cum_row = vbuf[CUM_ROW : CUM_ROW + 1, :]  # [1, W]
-        # Group maxima cum[8g+7] as max over a [W/8, 8] reshape: cum is
-        # non-decreasing, so max == last element.  (A strided slice
-        # cum.T[7::8] lowers to a Mosaic gather with mismatched shapes and
-        # fails; reshape+max lowers clean — probed on this jaxlib.)
-        coarse_t = jnp.max(
-            cum_row.reshape(WINDOW // SUBGROUP, SUBGROUP), axis=1, keepdims=True
-        )  # [W/8, 1] group maxima
-        cmask = (coarse_t <= j_eff).astype(jnp.int32)  # [W/8, W slots]
-        c = jnp.sum(cmask, axis=0, keepdims=True)  # [1, W] full groups
-        c_cl = jnp.minimum(c, jnp.int32(WINDOW // SUBGROUP - 1))
-        sub = jax.lax.broadcasted_iota(jnp.int32, (SUBGROUP, WINDOW), 0)
-        band_idx = c_cl * jnp.int32(SUBGROUP) + sub  # [8, W]
-        band = _band_gather(cum_row, band_idx)  # [8, W] cum of group c_cl
-        fine = jnp.sum((band <= j_eff).astype(jnp.int32), axis=0, keepdims=True)
-        cnt = c_cl * jnp.int32(SUBGROUP) + fine  # [1, W]
+        # cnt[j] = #{rows i in chunk : cum[i] <= j_eff[j]} via the flat
+        # [W rows x W slots] broadcast compare.  (A hierarchical stride-8
+        # two-level count cuts this ~4x on paper, but every formulation of
+        # the group-maxima extraction — strided slice, 1D->2D reshape —
+        # fails Mosaic server-side (`infer-vector-layout: unsupported shape
+        # cast`, observed 2026-08-20 on the axon remote compiler even though
+        # client-side lowering passes).  The flat form is the one proven to
+        # compile AND run on v5e.)  `searching` is an i32 0/1 mask: Mosaic
+        # cannot carry i1 vectors through `lax.while_loop` (scf.yield
+        # legalization fails on vpad'd i1).
+        cum_t = vbuf[CUM_ROW : CUM_ROW + 1, :].T  # [W rows, 1]
+        mask = (cum_t <= j_eff).astype(jnp.int32)  # [W rows, W slots]
+        cnt = jnp.sum(mask, axis=0, keepdims=True)  # [1, W]
         found_here = (searching > 0) & (cnt < WINDOW)
         gathered = _gather_groups(vbuf, cnt, found_here)
         acc = acc + gathered  # unfound lanes contribute 0
