@@ -1,11 +1,20 @@
-"""Multi-device scaling-efficiency benchmark (sort-elements/s at 1..N devices).
+"""Multi-device scaling-efficiency benchmark (LIVE sorted-elements/s).
 
 The north-star asks for >=80% sort-elements/s scaling efficiency to 4 hosts
-(BASELINE.md).  Real multi-chip hardware is not available in this environment,
-so this harness runs the distributed pipeline on the XLA host-platform
-virtual mesh (functional scaling validation + collective-count accounting)
-and on real multi-chip meshes when present.  Reports elements/s per device
-count and efficiency vs the single-device rate.
+(BASELINE.md).  Real multi-chip hardware is not available in this
+environment, so this harness runs the distributed pipeline on the XLA
+host-platform virtual mesh (functional scaling validation + collective byte
+accounting) and on real multi-chip meshes when present.
+
+Metric: live sorted elements per second — the per-frame sum over devices of
+elements actually received, sorted and blended (`SortElements.count` after
+the exchange), NOT capacity slots.  Efficiency at N devices = rate_N /
+(N * rate_1).  Also prints the per-frame collective traffic each device
+sends, derived from the static exchange shapes:
+
+  * all_gather of blend frame data: (ndev-1)/ndev * N_gauss * 48 B received
+    per device (color_alpha 16 + cov2d 12 + cov_inv 12 + screen_pos 8);
+  * all_to_all element exchange: 3 u32 columns * ndev*slab slots sent.
 
 Usage (CPU mesh): JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
     python scripts/scaling_bench.py --devices 1 2 4 8
@@ -28,7 +37,14 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize force-registers axon and overrides the env var;
+        # re-assert CPU after import (CLAUDE.md TPU-environment note).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,7 +60,7 @@ def main():
     cam.set_rotation(math.pi, 0.0)
     view, proj = cam.matrices()
 
-    results = {}
+    base_rate = None
     for ndev in args.devices:
         if ndev > len(jax.devices()):
             print(f"skip ndev={ndev}: only {len(jax.devices())} devices")
@@ -61,27 +77,35 @@ def main():
         mesh = make_mesh(ndev)
         padded = dist._pad_table(table, ndev)
         plan = dist.plan_distribution(config, padded.num_gaussians, ndev)
-        fn = dist.make_distributed_render(mesh, config, plan)
+        fn = dist.make_distributed_render(mesh, config, plan, return_stats=True)
         targs = (
             jax.tree.map(jnp.asarray, padded),
             jnp.asarray(view),
             jnp.asarray(proj),
             jnp.asarray(cam.position, dtype=jnp.float32),
         )
-        img = jax.block_until_ready(fn(*targs))  # compile
+        img, live = jax.block_until_ready(fn(*targs))  # compile
+        live_total = int(np.sum(np.asarray(live)))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            img = fn(*targs)
-        np.asarray(img[:1, :1])  # force completion
+            img, live = fn(*targs)
+        np.asarray(live)  # force completion
         dt = (time.perf_counter() - t0) / args.iters
-        elements = plan.local_capacity * ndev
-        rate = elements / dt
-        results[ndev] = rate
-        base = results.get(args.devices[0], rate)
-        eff = rate / (base * ndev / args.devices[0])
+
+        rate = live_total / dt
+        if base_rate is None:
+            base_rate, base_ndev = rate, ndev
+        eff = rate / (base_rate * ndev / base_ndev)
+
+        # Static per-device collective bytes per frame.
+        ag_bytes = (ndev - 1) / ndev * padded.num_gaussians * 48
+        a2a_bytes = 3 * 4 * ndev * plan.slab_capacity
         print(
-            f"ndev={ndev}: {dt*1e3:.1f} ms/frame, {rate/1e6:.1f} M elem-slots/s, "
-            f"efficiency {eff*100:.0f}%",
+            f"ndev={ndev}: {dt*1e3:.1f} ms/frame, live={live_total/1e6:.2f}M "
+            f"({np.asarray(live).tolist()} per dev), "
+            f"{rate/1e6:.1f} M live-elem/s, efficiency {eff*100:.0f}%, "
+            f"collectives/dev: all_gather {ag_bytes/1e6:.1f} MB + "
+            f"all_to_all {a2a_bytes/1e6:.1f} MB",
             flush=True,
         )
 
