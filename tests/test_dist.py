@@ -94,3 +94,29 @@ def test_multi_device_random_cloud():
 def test_plan_validation():
     with pytest.raises(ValueError):
         dist_mod.plan_distribution(RenderConfig(width=128, height=112), 100, 8)
+
+
+def test_multi_device_pallas_blend_parity(scene):
+    """The banded distributed path with the Pallas carry-blend tier matches
+    the XLA carry-blend tier (interpret mode on CPU)."""
+    table = scene.gaussians()
+    mesh = make_mesh(NDEV)
+    padded = dist_mod._pad_table(table, NDEV)
+    plan = dist_mod.plan_distribution(CONFIG, padded.num_gaussians, NDEV)
+    view, proj = scene.camera.matrices()
+    args = (
+        jax.tree.map(jnp.asarray, padded),
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(scene.camera.position),
+    )
+    img_x = np.asarray(
+        dist_mod.make_distributed_render(mesh, CONFIG, plan)(*args)
+    )
+    img_p = np.asarray(
+        dist_mod.make_distributed_render(
+            mesh, CONFIG, plan, use_pallas_blend=True
+        )(*args)
+    )
+    np.testing.assert_allclose(img_p, img_x, atol=5e-3)
+    assert img_p.max() > 0

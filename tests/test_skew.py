@@ -110,3 +110,61 @@ def test_slab_overflow_drops_not_corrupts():
     )[: CONFIG.height, : CONFIG.width]
     assert np.isfinite(img).all()
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_hot_tile_exceeding_slab_renders_without_drops():
+    """VERDICT r1 item 6: a tile holding >2x slab_capacity elements must
+    render equal to single-device instead of dropping.  The depth-banded
+    exchange splits every tile's range over all devices, so per-slab load is
+    ~1/ndev of a device's elements regardless of tile skew."""
+    from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
+    from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
+    from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
+
+    table = _hot_cloud()
+    cam = _camera()
+
+    # Single-device reference + its hottest tile's range length.
+    renderer = Renderer(CONFIG, use_pallas_blend=False)
+    renderer.init_for_scene(table)
+    out = renderer.draw(cam)
+    ref = np.asarray(out.image)
+    ref_count = int(out.num_elements)
+    view, proj = cam.matrices()
+    cap = CONFIG.sort_capacity(table.num_gaussians)
+    els, _ = keygen_ops.generate_sort_elements(
+        jax.tree.map(jnp.asarray, table),
+        jnp.asarray(view), jnp.asarray(proj),
+        jnp.asarray(cam.position, dtype=jnp.float32),
+        CONFIG, cap,
+    )
+    els = sort_ops.sort_elements(els, CONFIG)
+    rngs = np.asarray(ranges_ops.find_ranges(els, CONFIG.num_tiles))
+    hottest = int((rngs[:, 1] - rngs[:, 0]).max())
+    assert hottest > 8, "fixture no longer produces a hot tile"
+
+    # Slab sized so the hot tile alone is >2x slab capacity.
+    slab = max(hottest // 2 - 1, 8)
+    assert hottest > 2 * slab
+
+    mesh = make_mesh(NDEV)
+    padded = dist_mod._pad_table(table, NDEV)
+    plan = dist_mod.plan_distribution(CONFIG, padded.num_gaussians, NDEV)
+    tiny = dist_mod.DistConfig(
+        num_devices=plan.num_devices,
+        tile_rows_per_device=plan.tile_rows_per_device,
+        local_capacity=plan.local_capacity,
+        slab_capacity=slab,
+    )
+    fn = dist_mod.make_distributed_render(mesh, CONFIG, tiny, return_stats=True)
+    img, live = fn(
+        jax.tree.map(jnp.asarray, padded),
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(cam.position, dtype=jnp.float32),
+    )
+    img = np.asarray(img)[: CONFIG.height, : CONFIG.width]
+    # No element was dropped anywhere (exact integer accounting)...
+    assert int(np.sum(np.asarray(live))) == ref_count
+    # ...and the image matches single-device within the float contract.
+    np.testing.assert_allclose(img, ref, atol=2e-3)

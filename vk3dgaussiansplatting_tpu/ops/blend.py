@@ -73,32 +73,53 @@ def _pixel_coords(config: RenderConfig):
     return lu.reshape(-1), lv.reshape(-1)  # [P], row-major v-major like GLSL
 
 
-def blend_tiles_xla(
+def blend_strip_colors_xla(
     elements: SortElements,
     ranges,
     frame: GaussianFrameData,
     config: RenderConfig,
+    *,
+    tile_base: int | jax.Array = 0,
+    num_strip_tiles: int | None = None,
+    carry_color=None,
+    carry_logt=None,
     origin_y: int | jax.Array = 0,
 ):
-    """Vectorized blend over all tiles at once (XLA tier).
+    """Carry-aware blend core over tiles [tile_base, tile_base + T_s).
 
-    Memory scales as O(E * tile_size^2); intended for tests and small scenes.
-    Returns a float32 [H, W, 3] image (pre-quantization).
+    Blends each strip tile's sorted element range with an optional incoming
+    per-pixel transmittance/color carry — the primitive the distributed
+    depth-banded pipeline chains across devices (each device blends one depth
+    band of the tile; bands combine in depth order with the associative
+    over-operator, SURVEY.md §5 "long-context" analogue).
 
-    `origin_y`: absolute pixel row of this image's first row — nonzero when
-    blending a sharded strip whose tile ids are strip-local but whose gaussian
-    screen positions are global (parallel/dist.py).
+    Args:
+      elements/ranges/frame: the device's sorted elements, global-tile-id
+        ranges [num_tiles, 2] and frame data.
+      tile_base: first tile id of the target strip (element tile ids are
+        global; pixel coordinates derive from the global id).
+      num_strip_tiles: strip length T_s (static; default config.num_tiles).
+      carry_color: [T_s, P, 3] accumulated color entering this band (or None).
+      carry_logt: [T_s, P] accumulated log-transmittance entering this band
+        (or None).  T_excl(j) = exp(carry_logt + sum of local log terms).
+      origin_y: extra pixel-row offset for legacy strip-local callers.
+
+    Returns (colors [T_s, P, 3], logt_end [T_s, P]) — pre-clip accumulated
+    color and the outgoing log-transmittance.
     """
     screen_pos, color_alpha, cov_inv = gather_element_features(elements, frame)
     tile = elements.tile
     e = tile.shape[0]
     p = config.tile_size * config.tile_size
     gw = config.grid_width
-    gh = config.grid_height
-    num_tiles = config.num_tiles
+    t_s = config.num_tiles if num_strip_tiles is None else num_strip_tiles
+    tile_base = jnp.asarray(tile_base, jnp.int32)
 
     live = tile != jnp.uint32(SENTINEL)
     tile_i = jnp.where(live, tile, 0).astype(jnp.int32)
+    tile_loc = tile_i - tile_base  # strip-local index
+    in_strip = live & (tile_loc >= 0) & (tile_loc < t_s)
+    tile_loc_c = jnp.clip(tile_loc, 0, t_s - 1)
     tile_x = tile_i % gw
     tile_y = tile_i // gw
 
@@ -132,8 +153,14 @@ def blend_tiles_xla(
         & live[:, None]
     )
 
+    # Elements outside the tile's [start, end) range contribute nothing (the
+    # reference loop bounds); with sentinel-free live data every live element
+    # lies in its tile's range except the final-slot quirk (end = E-1).
+    in_range = (
+        jnp.arange(e, dtype=jnp.uint32)[:, None] < ranges[tile_i, 1][:, None]
+    )
     log_term = jnp.where(
-        eligible,
+        eligible & in_range,
         jnp.maximum(jnp.log1p(-alpha), jnp.float32(LOG_T_MIN)),
         jnp.float32(0.0),
     )
@@ -142,29 +169,70 @@ def blend_tiles_xla(
     seg_start = ranges[tile_i, 0].astype(jnp.int32)  # first slot of e's tile
     base = cs_excl[seg_start]
     log_t_excl = cs_excl - base
+    if carry_logt is not None:
+        log_t_excl = log_t_excl + carry_logt[tile_loc_c]
     t_excl = jnp.exp(log_t_excl)
 
     not_done = t_excl >= jnp.float32(config.transmittance_stop)
-    # Elements outside the tile's [start, end) range contribute nothing (the
-    # reference loop bounds); with sentinel-free live data every live element
-    # lies in its tile's range except the final-slot quirk (end = E-1).
-    in_range = (
-        jnp.arange(e, dtype=jnp.uint32)[:, None] < ranges[tile_i, 1][:, None]
+    w = jnp.where(
+        eligible & not_done & in_range & in_strip[:, None],
+        t_excl * alpha,
+        jnp.float32(0.0),
     )
-    w = jnp.where(eligible & not_done & in_range, t_excl * alpha, jnp.float32(0.0))
 
     contrib = w[:, :, None] * color_alpha[:, None, :3]  # [E,P,3]
-    tile_tgt = jnp.where(live, tile_i, num_tiles)
-    tile_colors = jnp.zeros((num_tiles + 1, p, 3), dtype=jnp.float32).at[
-        tile_tgt
-    ].add(contrib, mode="drop")[:num_tiles]
+    tile_tgt = jnp.where(in_strip, tile_loc_c, t_s)
+    colors = jnp.zeros((t_s + 1, p, 3), dtype=jnp.float32).at[tile_tgt].add(
+        contrib, mode="drop"
+    )[:t_s]
+    if carry_color is not None:
+        colors = carry_color + colors
 
-    img = tile_colors.reshape(gh, gw, config.tile_size, config.tile_size, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(
-        gh * config.tile_size, gw * config.tile_size, 3
+    # Outgoing log-transmittance: per strip tile, the inclusive log-term sum
+    # over its [start, end) range (plus carry).  Computed from the inclusive
+    # cumsum at the range endpoints; empty ranges pass the carry through.
+    cs_incl = jnp.cumsum(log_term, axis=0)  # [E, P]
+    strip_ids = tile_base + jnp.arange(t_s, dtype=jnp.int32)
+    r_start = ranges[strip_ids, 0].astype(jnp.int32)
+    r_end = ranges[strip_ids, 1].astype(jnp.int32)
+    hi = cs_incl[jnp.clip(r_end - 1, 0, e - 1)]
+    lo = jnp.where(
+        (r_start > 0)[:, None], cs_incl[jnp.clip(r_start - 1, 0, e - 1)], 0.0
     )
+    seg_total = jnp.where((r_end > r_start)[:, None], hi - lo, 0.0)
+    logt_end = seg_total if carry_logt is None else carry_logt + seg_total
+    return colors, logt_end
+
+
+def assemble_tile_colors(tile_colors, config: RenderConfig):
+    """[num_tiles, P, 3] per-tile pixels -> clipped [H, W, 3] image."""
+    gh, gw, ts = config.grid_height, config.grid_width, config.tile_size
+    img = tile_colors.reshape(gh, gw, ts, ts, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gh * ts, gw * ts, 3)
     img = img[: config.height, : config.width]
     return jnp.clip(img, 0.0, 1.0)
+
+
+def blend_tiles_xla(
+    elements: SortElements,
+    ranges,
+    frame: GaussianFrameData,
+    config: RenderConfig,
+    origin_y: int | jax.Array = 0,
+):
+    """Vectorized blend over all tiles at once (XLA tier).
+
+    Memory scales as O(E * tile_size^2); intended for tests and small scenes.
+    Returns a float32 [H, W, 3] image (pre-quantization).
+
+    `origin_y`: absolute pixel row of this image's first row — nonzero when
+    blending a sharded strip whose tile ids are strip-local but whose gaussian
+    screen positions are global (parallel/dist.py legacy path).
+    """
+    colors, _ = blend_strip_colors_xla(
+        elements, ranges, frame, config, origin_y=origin_y
+    )
+    return assemble_tile_colors(colors, config)
 
 
 def quantize_image(img):

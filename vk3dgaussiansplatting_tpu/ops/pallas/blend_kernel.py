@@ -124,14 +124,16 @@ def _exclusive_cumprod_lanes(q):
 def _blend_tile_kernel(
     starts_ref,
     ends_ref,
-    origin_ref,
+    origin_ref,  # [2] i32: (origin_y pixel row, tile_base global-id offset)
     feat_hbm,
-    out_ref,
-    feat_buf,
-    dma_sem,
-    *,
+    *rest,
     config: RenderConfig,
+    with_carry: bool = False,
 ):
+    if with_carry:
+        carry_ref, out_ref, feat_buf, dma_sem = rest
+    else:
+        out_ref, feat_buf, dma_sem = rest
     tile = pl.program_id(0)
     grid_w = config.grid_width
     ts = config.tile_size
@@ -141,9 +143,11 @@ def _blend_tile_kernel(
     end = ends_ref[tile]
 
     # Absolute pixel coordinates of the tile's pixels as [P, 1] columns
-    # (p = v*ts + u, matching the GLSL local index layout).
-    tile_x = tile % grid_w
-    tile_y = tile // grid_w
+    # (p = v*ts + u, matching the GLSL local index layout).  The strip
+    # variant's tile ids are global: tile_base maps the grid index back.
+    tile_glob = tile + origin_ref[1]
+    tile_x = tile_glob % grid_w
+    tile_y = tile_glob // grid_w
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     u = (tile_x * ts + pix % ts).astype(jnp.float32)  # [P,1]
     v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
@@ -219,14 +223,20 @@ def _blend_tile_kernel(
         k0, _slot, _t, _c, alive = carry
         return (k0 < end) & alive
 
-    init = (
-        first_k0,
-        jnp.int32(0),
-        jnp.ones((p, 1), jnp.float32),
-        jnp.zeros((4, p), jnp.float32),
-        jnp.bool_(True),
+    if with_carry:
+        t0 = carry_ref[0, 3:4, :].T  # [P,1] incoming transmittance
+        color0 = jnp.concatenate(
+            [carry_ref[0, 0:3, :], jnp.zeros((1, p), jnp.float32)], axis=0
+        )  # [4,P]
+        alive0 = jnp.max(t0) >= jnp.float32(config.transmittance_stop)
+    else:
+        t0 = jnp.ones((p, 1), jnp.float32)
+        color0 = jnp.zeros((4, p), jnp.float32)
+        alive0 = jnp.bool_(True)
+    init = (first_k0, jnp.int32(0), t0, color0, alive0)
+    k_end, slot_end, t_end, color, alive_end = jax.lax.while_loop(
+        cond, body, init
     )
-    k_end, slot_end, _, color, alive_end = jax.lax.while_loop(cond, body, init)
 
     # Drain: if the loop exited early (all pixels saturated) while a prefetch
     # for batch k_end is in flight, consume it so the scratch semaphore is
@@ -235,7 +245,11 @@ def _blend_tile_kernel(
     def _():
         dma(slot_end, k_end).wait()
 
-    out_ref[0, :, :] = jnp.clip(color, 0.0, 1.0)
+    if with_carry:
+        # Rows 0-2: accumulated (unclipped) color; row 3: outgoing T.
+        out_ref[0, :, :] = jnp.concatenate([color[:3, :], t_end.T], axis=0)
+    else:
+        out_ref[0, :, :] = jnp.clip(color, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +486,9 @@ def blend_tiles_pallas(
     feat = _build_features(elements, frame)
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
-    origin = jnp.asarray(origin_y, jnp.int32).reshape(1)
+    origin = jnp.stack(
+        [jnp.asarray(origin_y, jnp.int32), jnp.int32(0)]
+    )  # (origin_y, tile_base)
     num_tiles = config.num_tiles
     p = config.tile_size * config.tile_size
 
@@ -499,3 +515,70 @@ def blend_tiles_pallas(
     img = tile_colors[:, :3, :].reshape(gh, gw, 3, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(gh * ts, gw * ts, 3)
     return img[: config.height, : config.width]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def blend_strip_colors_pallas(
+    elements: SortElements,
+    ranges,
+    frame: GaussianFrameData,
+    config: RenderConfig,
+    tile_base,
+    carry_color,
+    carry_logt,
+):
+    """Carry-aware strip blend (Pallas tier) — the distributed depth-banded
+    pipeline's per-phase primitive (parallel/dist.py).
+
+    `config` is the STRIP config (num_tiles = strip length); `ranges` is the
+    GLOBAL [T_total, 2] table, sliced here at `tile_base`; element tile ids
+    are global.  Carries enter/leave in the same (color [T_s, P, 3],
+    logT [T_s, P]) format as blend_strip_colors_xla; the kernel chains T
+    multiplicatively (exp at entry, log at exit).
+
+    Returns (colors [T_s, P, 3] unclipped, logt_end [T_s, P]).
+    """
+    num_tiles = config.num_tiles  # strip length
+    p = config.tile_size * config.tile_size
+    feat = _build_features(elements, frame)
+    tile_base = jnp.asarray(tile_base, jnp.int32)
+    strip_ranges = jax.lax.dynamic_slice_in_dim(ranges, tile_base, num_tiles, 0)
+    starts = strip_ranges[:, 0].astype(jnp.int32)
+    ends = strip_ranges[:, 1].astype(jnp.int32)
+    origin = jnp.stack([jnp.int32(0), tile_base])
+
+    carry = jnp.concatenate(
+        [
+            carry_color.transpose(0, 2, 1),  # [T_s, 3, P]
+            jnp.exp(carry_logt)[:, None, :],  # [T_s, 1, P]
+        ],
+        axis=1,
+    )  # [T_s, 4, P]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_FEATURES, BATCH_K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_blend_tile_kernel, config=config, with_carry=True),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(starts, ends, origin, feat, carry)
+
+    colors = out[:, :3, :].transpose(0, 2, 1)  # [T_s, P, 3]
+    logt_end = jnp.log(out[:, 3, :])  # -inf for fully saturated pixels: fine
+    return colors, logt_end

@@ -1,42 +1,61 @@
 """Distributed frame pipeline — multi-chip rendering via shard_map.
 
 Design (SURVEY.md §7 step 6; no reference counterpart — the reference is
-single-GPU):
+single-GPU).  The per-frame global sort + blend is distributed the way ring
+attention distributes sequence: shard the element list, exchange by
+ownership, and split every tile's *depth range* across devices so no single
+hot tile can serialize a chip.
 
   1. **Gaussian sharding**: the table is split evenly over the mesh's
      "shard" axis; each device runs keygen on its slice (global gaussian ids
-     = local id + shard offset).
+     = local id + shard offset).  Local keygen capacity carries the full
+     per-tile slack formula so shard skew does not drop elements a single
+     device would keep.
   2. **Frame-data replication**: per-gaussian blend inputs (color, inverse
-     covariance, screen position — 36 B/gaussian) are all-gathered so any
+     covariance, screen position — 48 B/gaussian) are all-gathered so any
      device can blend elements referencing any gaussian.
-  3. **Tile-ownership exchange**: screen-tile *rows* are block-partitioned
-     over devices.  Each device buckets its elements by owner (a stable local
-     sort by destination) into equal-capacity per-peer slabs and performs ONE
-     `all_to_all` — the distributed analogue of the reference's global radix
-     scatter (RadixSortScatter.comp), with XLA collectives over ICI instead
-     of HBM atomics.  Slab overflow drops elements, mirroring the reference's
-     sort-list overflow rule (InitSortList.comp:143); capacity is sized by
-     the same slack formula so drops only occur under extreme skew.
-  4. **Local sort / ranges / blend**: each device 3-key sorts its received
-     elements by (tile, depth, gaussian id) — equivalent to the single-chip
-     stable (tile, depth) sort because allocation order is gaussian-id order
-     — then computes ranges and blends its strip of the image.  The output
-     stays sharded along image rows (one strip per device).
+  3. **Depth-banded tile-ownership exchange**: tile t's elements are routed
+     to device (owner(t) + band(depth)) mod ndev, where band() partitions
+     the frame's depth keys into ndev quantile bands (thresholds from a
+     device-uniform all-gathered depth sample).  EVERY tile's range is thus
+     split ~evenly across all devices — a hot tile covered by millions of
+     splats costs each device ~1/ndev of it, and each (src, dst) exchange
+     slab sees ~1/ndev of a device's elements regardless of tile skew, so
+     slab capacity scales as local_capacity/ndev instead of local_capacity.
+     Slab overflow still drops (the reference's overflow rule,
+     InitSortList.comp:143) but now only under extreme *depth* skew.
+     Bucketing is scatter-free: stable sort by destination + searchsorted
+     run starts + one packed gather.
+  4. **Local sort**: each device 3-key sorts its received elements by
+     (tile, depth, gaussian id) — global tile ids; its slice of tile t is
+     the band's depth-contiguous sub-range of t's global sorted order.
+  5. **Systolic banded blend**: ndev phases.  In phase s, device d blends
+     the tiles owned by g = (d - s) mod ndev — exactly the band-s slice of
+     those tiles — seeded by the (color, logT) carry received from device
+     d-1 (which holds band s-1), then ppermutes its result to d+1.  The
+     front-to-back over-operator is associative in the transmittance monoid,
+     and the carry chain applies bands in depth order, so the composition
+     matches the sequential blend up to float association (docs/TOLERANCES
+     image contract); after the final phase each device holds its own
+     strip's finished tiles.  Work per phase is balanced even under extreme
+     tile skew because every device processes one band of every strip.
 
-Bit-parity: because the final per-device sort orders by the full
-(tile, depth, id) key, the blended strip is independent of exchange arrival
-order, and an N-device render equals the 1-device render up to the
-documented float tolerances (exactly, for the integer element lists).
+Parity: element routing is an exact partition of the single-device sorted
+element multiset (band boundaries are depth-value thresholds, so bands
+concatenate to the global (tile, depth, id) order); images match
+single-device within the documented float tolerances.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import lax
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..core.config import SENTINEL, RenderConfig
@@ -47,13 +66,12 @@ from ..ops import ranges as ranges_ops
 from ..ops.keygen import GaussianFrameData, SortElements
 from .mesh import SHARD_AXIS
 
+_DEPTH_SAMPLE = 512  # per-device depth-quantile sample size
+
 
 def _pad_table(table: GaussianTable, multiple: int) -> GaussianTable:
-    """Pad the gaussian table so N divides it; padding gaussians sit behind
-    the near plane (z = +inf in view space is awkward — use w-space far
-    behind the camera is camera-dependent, so instead give them zero opacity
-    AND zero scale; they cull to zero tiles because their NDC check fails or
-    their extent is empty)."""
+    """Pad the gaussian table so N divides it; padding gaussians have zero
+    opacity AND zero scale, so they cull to zero tiles."""
     import numpy as np
 
     n = table.position.shape[0]
@@ -82,23 +100,30 @@ class DistConfig(NamedTuple):
     """Static distributed-layout parameters."""
 
     num_devices: int
-    tile_rows_per_device: int  # grid_height rows per shard
+    tile_rows_per_device: int  # grid_height rows per shard (image sharding)
     local_capacity: int  # keygen capacity per device
     slab_capacity: int  # per-peer exchange capacity
 
 
 def plan_distribution(
-    config: RenderConfig, num_gaussians: int, num_devices: int
+    config: RenderConfig,
+    num_gaussians: int,
+    num_devices: int,
+    slab_slack: float = 2.0,
 ) -> DistConfig:
     if config.grid_height % num_devices != 0:
         raise ValueError(
             f"grid_height={config.grid_height} must divide evenly over "
             f"{num_devices} devices (pad the image height)"
         )
-    total_capacity = config.sort_capacity(num_gaussians)
-    local_capacity = -(-total_capacity // num_devices)
-    # per-peer slab: everything one device generates could target one peer
-    slab_capacity = local_capacity
+    # Full slack formula per shard (Renderer.cpp:725 analogue): a shard's
+    # gaussians can overlap every tile, so the per-tile slack term does not
+    # shrink with ndev.
+    n_local = -(-num_gaussians // num_devices)
+    local_capacity = config.sort_capacity(n_local)
+    # Depth bands spread a device's elements ~evenly over its ndev slabs;
+    # slack covers band skew.
+    slab_capacity = int(-(-local_capacity // num_devices) * slab_slack)
     return DistConfig(
         num_devices=num_devices,
         tile_rows_per_device=config.grid_height // num_devices,
@@ -107,52 +132,48 @@ def plan_distribution(
     )
 
 
-def _bucket_by_destination(
-    elements: SortElements, dist: DistConfig, config: RenderConfig
-):
-    """Pack local elements into [ndev * slab] slots grouped by destination
-    device (tile-row owner), preserving gaussian-id order within each slab.
+def _depth_band_thresholds(depth, ndev: int):
+    """Device-uniform depth-quantile thresholds [ndev-1] from an all-gathered
+    strided sample.  Sentinel (dead) depths sort to the sample's tail and are
+    excluded by the live count."""
+    e = depth.shape[0]
+    stride = max(1, e // _DEPTH_SAMPLE)
+    sample = depth[::stride]
+    all_s = lax.all_gather(sample, SHARD_AXIS, tiled=True)
+    all_s = jnp.sort(all_s)
+    live_n = jnp.sum(all_s != jnp.uint32(SENTINEL)).astype(jnp.int32)
+    k = jnp.arange(1, ndev, dtype=jnp.int32)
+    ranks = jnp.clip((live_n * k) // ndev, 0, all_s.shape[0] - 1)
+    return all_s[ranks]  # [ndev-1] u32, ascending
 
-    Scatter-free (CLAUDE.md: XLA scatter is pathological on this stack —
-    compiles >15 min and runs ~10 ms/M): one stable multi-operand sort keyed
-    by destination groups the elements, `searchsorted` locates each
-    destination's run, and ONE packed row gather materializes the slabs.
-    Output slot (d, r) reads sorted position start_d + r when r < len_d and
-    is sentinel otherwise; slab overflow (r >= slab never reached because
-    slot r only ranges [0, slab)) drops the run's tail, mirroring the
-    reference's sort-list overflow rule (InitSortList.comp:143).
+
+def _bucket_by_destination(elements: SortElements, dest, ndev: int, slab: int):
+    """Pack local elements into [ndev, slab] slots grouped by destination
+    device, preserving (tile, depth, id)-compatible order within each slab.
+
+    Scatter-free (CLAUDE.md: XLA scatter is pathological on this stack): one
+    stable multi-operand sort keyed by destination groups the elements,
+    `searchsorted` locates each destination's run, and ONE packed row gather
+    materializes the slabs.  A run longer than `slab` drops its tail,
+    mirroring the reference's sort-list overflow rule
+    (InitSortList.comp:143).
     """
-    ndev = dist.num_devices
-    slab = dist.slab_capacity
-    tiles_per_dev = dist.tile_rows_per_device * config.grid_width
-
-    live = elements.tile != jnp.uint32(SENTINEL)
-    dest = jnp.where(
-        live, (elements.tile // tiles_per_dev).astype(jnp.uint32), jnp.uint32(ndev)
-    )
-    # Stable sort by destination keeps allocation order within each bucket;
-    # the payload columns ride the sort (cheaper than argsort + N gathers).
     dest_s, tile_s, depth_s, index_s = jax.lax.sort(
         (dest, elements.tile, elements.depth, elements.index),
         dimension=0,
         num_keys=1,
         is_stable=True,
     )
-
-    # Run start of each destination in the sorted order.
     starts = jnp.searchsorted(
         dest_s, jnp.arange(ndev + 1, dtype=jnp.uint32), side="left"
     ).astype(jnp.int32)  # [ndev+1]
 
-    # Output slot (d, r) <- sorted position starts[d] + r, masked past the run.
     d_of = jnp.arange(ndev * slab, dtype=jnp.int32) // slab
     r_of = jnp.arange(ndev * slab, dtype=jnp.int32) % slab
     src = starts[d_of] + r_of
     in_run = src < starts[d_of + 1]
     src = jnp.where(in_run, src, 0)
 
-    # ONE wide-row gather (three u32 columns packed) — TPU gather cost is
-    # per-row, independent of width.
     packed = jnp.stack([tile_s, depth_s, index_s], axis=-1)  # [E, 3]
     out = packed[src]  # [ndev*slab, 3]
     sent = jnp.uint32(SENTINEL)
@@ -186,21 +207,14 @@ def make_distributed_render(
 
     With return_stats, returns (image, live) where live is the [ndev] int32
     per-device count of live sorted elements actually received and blended —
-    the denominator the scaling benchmark must use (capacity slots are not
-    work; VERDICT r1 weak #6).
+    the denominator the scaling benchmark uses (capacity slots are not work).
     """
     ndev = dist.num_devices
     tiles_per_dev = dist.tile_rows_per_device * config.grid_width
     strip_height = dist.tile_rows_per_device * config.tile_size
+    p = config.tile_size * config.tile_size
 
-    # Per-device blend config: a strip with its own tile grid.
-    import dataclasses
-
-    strip_config = dataclasses.replace(
-        config,
-        height=strip_height,
-        # width unchanged; grid derived properties follow height/width
-    )
+    strip_config = dataclasses.replace(config, height=strip_height)
 
     def per_device(table, view, proj, cam_pos):
         # table leaves arrive as the local shard [N/ndev, ...]
@@ -222,48 +236,79 @@ def make_distributed_render(
 
         # replicate frame data (all_gather along shard axis)
         frame_all = GaussianFrameData(
-            color_alpha=jax.lax.all_gather(
-                frame.color_alpha, SHARD_AXIS, tiled=True
-            ),
-            cov2d=jax.lax.all_gather(frame.cov2d, SHARD_AXIS, tiled=True),
-            cov_inv=jax.lax.all_gather(frame.cov_inv, SHARD_AXIS, tiled=True),
-            screen_pos=jax.lax.all_gather(
-                frame.screen_pos, SHARD_AXIS, tiled=True
-            ),
+            color_alpha=lax.all_gather(frame.color_alpha, SHARD_AXIS, tiled=True),
+            cov2d=lax.all_gather(frame.cov2d, SHARD_AXIS, tiled=True),
+            cov_inv=lax.all_gather(frame.cov_inv, SHARD_AXIS, tiled=True),
+            screen_pos=lax.all_gather(frame.screen_pos, SHARD_AXIS, tiled=True),
         )
 
-        # bucket by tile-row owner and exchange
-        bt, bd, bi = _bucket_by_destination(elements, dist, config)
-        rt = jax.lax.all_to_all(bt, SHARD_AXIS, 0, 0, tiled=False)
-        rd = jax.lax.all_to_all(bd, SHARD_AXIS, 0, 0, tiled=False)
-        ri = jax.lax.all_to_all(bi, SHARD_AXIS, 0, 0, tiled=False)
-        rt = rt.reshape(-1)
-        rd = rd.reshape(-1)
-        ri = ri.reshape(-1)
+        # depth-banded destination: (owner + band) mod ndev
+        thr = _depth_band_thresholds(elements.depth, ndev)
+        band = jnp.searchsorted(thr, elements.depth, side="right").astype(
+            jnp.uint32
+        )
+        owner = (elements.tile // jnp.uint32(tiles_per_dev)).astype(jnp.uint32)
+        dest = jnp.where(
+            live, (owner + band) % jnp.uint32(ndev), jnp.uint32(ndev)
+        )
+        bt, bd, bi = _bucket_by_destination(
+            elements, dest, ndev, dist.slab_capacity
+        )
+        rt = lax.all_to_all(bt, SHARD_AXIS, 0, 0, tiled=False).reshape(-1)
+        rd = lax.all_to_all(bd, SHARD_AXIS, 0, 0, tiled=False).reshape(-1)
+        ri = lax.all_to_all(bi, SHARD_AXIS, 0, 0, tiled=False).reshape(-1)
 
-        # localize tile ids to this device's strip
-        tile_base = (shard_id * tiles_per_dev).astype(jnp.uint32)
-        live_r = rt != jnp.uint32(SENTINEL)
-        rt = jnp.where(live_r, rt - tile_base, rt)
-
+        # local (tile, depth, id) sort; tile ids stay GLOBAL — this device
+        # holds one depth band of every tile.
         st, sd, si = _sort3(rt, rd, ri)
+        live_r = st != jnp.uint32(SENTINEL)
         count = jnp.sum(live_r).astype(jnp.uint32)
         local_elements = SortElements(tile=st, depth=sd, index=si, count=count)
-        ranges = ranges_ops.find_ranges(local_elements, tiles_per_dev)
+        ranges = ranges_ops.find_ranges(local_elements, config.num_tiles)
 
-        # Strip-local tile ids but global gaussian screen coordinates: the
-        # blend needs the strip's absolute pixel-row origin.
-        origin_y = shard_id * strip_height
-        if use_pallas_blend:
-            from ..ops.pallas import blend_kernel
+        # systolic banded blend: phase s blends strip (d - s) mod ndev with
+        # the carry from device d-1, then passes the result to d+1.
+        perm = [(i, (i + 1) % ndev) for i in range(ndev)]
 
-            strip = blend_kernel.blend_tiles_pallas(
-                local_elements, ranges, frame_all, strip_config, origin_y
-            )
-        else:
-            strip = blend_ops.blend_tiles_xla(
-                local_elements, ranges, frame_all, strip_config, origin_y
-            )
+        def phase(s, carry):
+            cc, cl = carry  # [tiles_per_dev, P, 3], [tiles_per_dev, P]
+            g = (shard_id - s) % ndev
+            tile_base = (g * tiles_per_dev).astype(jnp.int32)
+            if use_pallas_blend:
+                from ..ops.pallas import blend_kernel
+
+                colors, logt = blend_kernel.blend_strip_colors_pallas(
+                    local_elements,
+                    ranges,
+                    frame_all,
+                    strip_config,
+                    tile_base=tile_base,
+                    carry_color=cc,
+                    carry_logt=cl,
+                )
+            else:
+                colors, logt = blend_ops.blend_strip_colors_xla(
+                    local_elements,
+                    ranges,
+                    frame_all,
+                    config,
+                    tile_base=tile_base,
+                    num_strip_tiles=tiles_per_dev,
+                    carry_color=cc,
+                    carry_logt=cl,
+                )
+            cc2 = lax.ppermute(colors, SHARD_AXIS, perm)
+            cl2 = lax.ppermute(logt, SHARD_AXIS, perm)
+            return (cc2, cl2)
+
+        init = (
+            jnp.zeros((tiles_per_dev, p, 3), jnp.float32),
+            jnp.zeros((tiles_per_dev, p), jnp.float32),
+        )
+        colors, _ = lax.fori_loop(0, ndev, phase, init)
+        # After phase ndev-1's ppermute, device d holds the finished tiles of
+        # strip d (its own image rows).
+        strip = blend_ops.assemble_tile_colors(colors, strip_config)
         if return_stats:
             return strip, count.astype(jnp.int32).reshape(1)
         return strip  # [strip_height, W, 3]
