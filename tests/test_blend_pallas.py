@@ -81,3 +81,23 @@ def test_pallas_blend_matches_oracle():
         u8[..., :3].astype(np.int32) - oracle.image_u8[..., :3].astype(np.int32)
     )
     assert diff.max() <= 1
+
+
+def test_pallas_blend_k256_matches_k512():
+    """blend_batch_k is a pure schedule knob: results match across widths."""
+    import dataclasses
+
+    scene, elements, ranges, frame = _prepare(SimpleTestGaussiansScene)
+    img512 = np.asarray(
+        blend_kernel.blend_tiles_pallas(elements, ranges, frame, CONFIG)
+    )
+    cfg256 = dataclasses.replace(CONFIG, blend_batch_k=256)
+    img256 = np.asarray(
+        blend_kernel.blend_tiles_pallas(elements, ranges, frame, cfg256)
+    )
+    # Different batch boundaries reassociate the cumprod: tolerance, not bits.
+    np.testing.assert_allclose(img256, img512, atol=1e-4)
+    flat256 = np.asarray(
+        blend_kernel.blend_tiles_pallas_flat(elements, ranges, frame, cfg256)
+    )
+    np.testing.assert_array_equal(flat256, img256)

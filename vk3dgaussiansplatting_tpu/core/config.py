@@ -105,6 +105,11 @@ class RenderConfig:
     #   "repeat"  — jnp.repeat (XLA scatter + one ~6.5 ns/row gather).
     #   "auto"    — pallas on TPU, repeat elsewhere.
     expansion_method: str = "auto"
+    # Pallas blend batch width (elements per cooperative batch; the
+    # reference's ENTIRE_GROUP_SIZE=256 widened to fill VPU lanes).  Must be
+    # a multiple of 128 (DMA lane alignment).  Smaller batches waste fewer
+    # trailing lanes on short tile ranges at the cost of more DMAs.
+    blend_batch_k: int = 512
 
     # ----- derived static quantities --------------------------------------
 

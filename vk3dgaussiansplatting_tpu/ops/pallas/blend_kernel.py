@@ -54,7 +54,9 @@ ALIGN_K = 128
 NUM_FEATURES = 16  # feature rows: gx, gy, a, b, c, pad, r, g, b, galpha, pad*6
 
 
-def _build_features(elements: SortElements, frame: GaussianFrameData):
+def _build_features(
+    elements: SortElements, frame: GaussianFrameData, batch_k: int = BATCH_K
+):
     """Gather per-gaussian data into sorted-element order, feature-major.
 
     Returns [NUM_FEATURES, E_pad] float32 with
@@ -93,7 +95,7 @@ def _build_features(elements: SortElements, frame: GaussianFrameData):
     rows = jnp.concatenate([rows[:, :9], rows[:, 9:10] * live[:, None]], axis=1)
     feat = rows.T  # [10, E]
     e = feat.shape[1]
-    pad = (-e) % BATCH_K + BATCH_K
+    pad = (-e) % batch_k + batch_k
     feat = jnp.concatenate(
         [
             feat,
@@ -138,6 +140,7 @@ def _blend_tile_kernel(
     grid_w = config.grid_width
     ts = config.tile_size
     p = ts * ts
+    bk = config.blend_batch_k
 
     start = starts_ref[tile]
     end = ends_ref[tile]
@@ -152,12 +155,12 @@ def _blend_tile_kernel(
     u = (tile_x * ts + pix % ts).astype(jnp.float32)  # [P,1]
     v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
 
     def dma(slot, k0):
         k0a = pl.multiple_of(k0, ALIGN_K)
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(k0a, BATCH_K)],
+            feat_hbm.at[:, pl.ds(k0a, bk)],
             feat_buf.at[slot],
             dma_sem.at[slot],
         )
@@ -173,7 +176,7 @@ def _blend_tile_kernel(
 
     def body(carry):
         k0, slot, t_carry, color, _alive = carry
-        nk0 = k0 + BATCH_K
+        nk0 = k0 + bk
 
         @pl.when(nk0 < end)
         def _():
@@ -265,15 +268,16 @@ def _blend_tile_kernel(
 def _flat_schedule(ranges, config: RenderConfig, capacity: int):
     """Per-frame batch schedule: tile_of_batch, k0_of_batch, counts."""
     num_tiles = config.num_tiles
+    bk = config.blend_batch_k
     # Static upper bound on total batches: sum_t ceil((r_t + lead_t)/K) with
     # lead_t <= ALIGN_K*(K/ALIGN_K - 1)/... conservatively each tile adds at
     # most 2 partial batches (leading-alignment waste + trailing remainder)
     # on top of its r_t/K full ones.
-    b_cap = capacity // BATCH_K + 2 * num_tiles
+    b_cap = capacity // bk + 2 * num_tiles
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
     astart = (starts // ALIGN_K) * ALIGN_K
-    nb = jnp.where(ends > starts, (ends - astart + BATCH_K - 1) // BATCH_K, 0)
+    nb = jnp.where(ends > starts, (ends - astart + bk - 1) // bk, 0)
     cum_nb = jnp.cumsum(nb)
     nb_total = cum_nb[-1]
     first_batch = cum_nb - nb
@@ -285,7 +289,7 @@ def _flat_schedule(ranges, config: RenderConfig, capacity: int):
     last_real = jnp.max(jnp.where(has, jnp.arange(num_tiles, dtype=jnp.int32), -1))
     last_real = jnp.maximum(last_real, 0)
     tile_safe = jnp.where(b_idx < nb_total, tile_of_batch, last_real)
-    k0_of_batch = astart[tile_safe] + (b_idx - first_batch[tile_safe]) * BATCH_K
+    k0_of_batch = astart[tile_safe] + (b_idx - first_batch[tile_safe]) * bk
     k0_of_batch = jnp.clip(k0_of_batch, 0, capacity)  # dummies: in-bounds DMA
     is_first = (b_idx == first_batch[tile_safe]) & (b_idx < nb_total)
     return tile_safe, k0_of_batch, is_first, nb_total, has
@@ -312,6 +316,7 @@ def _blend_flat_kernel(
     grid_w = config.grid_width
     ts = config.tile_size
     p = ts * ts
+    bk = config.blend_batch_k
 
     slot = jax.lax.rem(b, 2)
 
@@ -322,7 +327,7 @@ def _blend_flat_kernel(
         @pl.when(nbt > 0)
         def _():
             dma0 = pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[0], ALIGN_K), BATCH_K)],
+                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[0], ALIGN_K), bk)],
                 feat_buf.at[0],
                 dma_sem.at[0],
             )
@@ -343,14 +348,14 @@ def _blend_flat_kernel(
         @pl.when(b + 1 < nbt)
         def _():
             nxt = pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[b + 1], ALIGN_K), BATCH_K)],
+                feat_hbm.at[:, pl.ds(pl.multiple_of(k0_ref[b + 1], ALIGN_K), bk)],
                 feat_buf.at[1 - slot],
                 dma_sem.at[1 - slot],
             )
             nxt.start()
 
         cur = pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(pl.multiple_of(k0, ALIGN_K), BATCH_K)],
+            feat_hbm.at[:, pl.ds(pl.multiple_of(k0, ALIGN_K), bk)],
             feat_buf.at[slot],
             dma_sem.at[slot],
         )
@@ -373,7 +378,7 @@ def _blend_flat_kernel(
             pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
             u = (tile_x * ts + pix % ts).astype(jnp.float32)
             v = (origin_ref[0] + tile_y * ts + pix // ts).astype(jnp.float32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, BATCH_K), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
 
             buf = feat_buf[slot]
             gx = buf[0:1, :]
@@ -421,7 +426,9 @@ def blend_tiles_pallas_flat(
 ):
     """Flat-scheduled blend; returns float32 [H, W, 3]."""
     capacity = elements.tile.shape[0]
-    feat = _build_features(elements, frame)
+    bk = config.blend_batch_k
+    assert bk % ALIGN_K == 0, "blend_batch_k must be a multiple of 128"
+    feat = _build_features(elements, frame, bk)
     tile_of_batch, k0_of_batch, is_first, nb_total, has = _flat_schedule(
         ranges, config, capacity
     )
@@ -430,7 +437,7 @@ def blend_tiles_pallas_flat(
     origin = jnp.asarray(origin_y, jnp.int32).reshape(1)
     num_tiles = config.num_tiles
     p = config.tile_size * config.tile_size
-    b_cap = capacity // BATCH_K + 2 * num_tiles  # must match _flat_schedule
+    b_cap = capacity // bk + 2 * num_tiles  # must match _flat_schedule
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -442,7 +449,7 @@ def blend_tiles_pallas_flat(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FEATURES, BATCH_K), jnp.float32),
+            pltpu.VMEM((2, NUM_FEATURES, bk), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -483,7 +490,9 @@ def blend_tiles_pallas(
 
     `origin_y`: absolute pixel row of this image's first row (sharded strips,
     see parallel/dist.py)."""
-    feat = _build_features(elements, frame)
+    bk = config.blend_batch_k
+    assert bk % ALIGN_K == 0, "blend_batch_k must be a multiple of 128"
+    feat = _build_features(elements, frame, bk)
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
     origin = jnp.stack(
@@ -500,7 +509,7 @@ def blend_tiles_pallas(
             (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FEATURES, BATCH_K), jnp.float32),
+            pltpu.VMEM((2, NUM_FEATURES, bk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -540,7 +549,9 @@ def blend_strip_colors_pallas(
     """
     num_tiles = config.num_tiles  # strip length
     p = config.tile_size * config.tile_size
-    feat = _build_features(elements, frame)
+    bk = config.blend_batch_k
+    assert bk % ALIGN_K == 0, "blend_batch_k must be a multiple of 128"
+    feat = _build_features(elements, frame, bk)
     tile_base = jnp.asarray(tile_base, jnp.int32)
     strip_ranges = jax.lax.dynamic_slice_in_dim(ranges, tile_base, num_tiles, 0)
     starts = strip_ranges[:, 0].astype(jnp.int32)
@@ -568,7 +579,7 @@ def blend_strip_colors_pallas(
             (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FEATURES, BATCH_K), jnp.float32),
+            pltpu.VMEM((2, NUM_FEATURES, bk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
