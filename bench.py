@@ -178,26 +178,84 @@ def main():
     vj, pj, cj = jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position)
     frame = build_frame_fn(config, capacity, use_pallas)
 
+    # Timing protocol: the axon tunnel neither blocks on dispatch nor
+    # observes completion without a fetch (~28 ms RTT), so frames are
+    # dispatched back-to-back (async, serialized on the one core) and ONE
+    # scalar digest of the last frame is fetched; the one-frame run is
+    # subtracted to cancel the dispatch+fetch overhead.  A monolithic
+    # in-jit `fori_loop` over frames was the previous protocol, but its
+    # single huge program broke the remote compile helper at garden scale
+    # (transport broken-pipe after ~25 min, 2026-08-20); per-frame dispatch
+    # compiles the same per-pass programs the pass bench already caches.
+
+    @jax.jit
+    def frame_digest(eps):
+        v2 = vj.at[2, 3].add(eps)  # perturb so nothing constant-folds
+        img, count = frame(table, v2, pj, cj)
+        return jnp.sum(img[::97, ::97, 0]) + count.astype(jnp.float32) * jnp.float32(1e-9)
+
+    def make_chained():
+        """Fallback: per-pass jits chained by async dispatch — identical
+        dataflow, but each pass compiles as its own (cacheable) program."""
+        from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+        from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
+        from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
+        from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
+
+        kg = jax.jit(
+            lambda eps: keygen_ops.generate_sort_elements(
+                table, vj.at[2, 3].add(eps), pj, cj, config, capacity
+            )
+        )
+        so = jax.jit(lambda el: sort_ops.sort_elements(el, config))
+        rg = jax.jit(lambda el: ranges_ops.find_ranges(el, config.num_tiles))
+        if use_pallas:
+            from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
+
+            bl = jax.jit(
+                lambda el, r, fr: blend_kernel.blend_tiles_pallas(
+                    el, r, fr, config
+                )
+            )
+        else:
+            bl = jax.jit(
+                lambda el, r, fr: blend_ops.blend_tiles_xla(el, r, fr, config)
+            )
+        dig = jax.jit(
+            lambda img, count: jnp.sum(img[::97, ::97, 0])
+            + count.astype(jnp.float32) * jnp.float32(1e-9)
+        )
+
+        def chained(eps):
+            el, fr = kg(eps)
+            el = so(el)
+            r = rg(el)
+            return dig(bl(el, r, fr), el.count)
+
+        return chained
+
+    dispatch = [frame_digest]
+
     def run(num_frames):
-        def body(i, acc):
-            # Perturb the camera translation a hair per frame so nothing is
-            # constant-folded or served from a result cache.
-            eps = (acc * jnp.float32(1e-30) + i.astype(jnp.float32)) * jnp.float32(1e-5)
-            v2 = vj.at[2, 3].add(eps)
-            img, count = frame(table, v2, pj, cj)
-            return acc * jnp.float32(1e-30) + jnp.sum(img[::97, ::97, 0]) + count.astype(jnp.float32) * jnp.float32(1e-9)
+        d = None
+        for i in range(num_frames):
+            d = dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
+        return float(d)
 
-        return lax.fori_loop(0, num_frames, body, jnp.float32(0.0))
-
-    g = jax.jit(run)
     t0 = time.time()
-    float(g(jnp.int32(1)))
+    try:
+        run(1)
+    except Exception as e:  # noqa: BLE001 — remote compile can die; fall back
+        log(f"monolithic frame compile failed ({type(e).__name__}); "
+            f"falling back to chained per-pass dispatch")
+        dispatch[0] = make_chained()
+        run(1)
     log(f"compile+first frame in {time.time()-t0:.0f}s")
     t0 = time.perf_counter()
-    float(g(jnp.int32(1)))
+    run(1)
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(g(jnp.int32(args.frames + 1)))
+    run(args.frames + 1)
     tn = time.perf_counter() - t0
     ms_per_frame = (tn - t1) / args.frames * 1e3
     baseline = BASELINES_MS[args.scene]
