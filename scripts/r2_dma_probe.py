@@ -64,18 +64,29 @@ def bench(name, fn, *args, iters=8):
 
 
 def dma_kernel(offs_ref, src_hbm, out_ref, buf, sem, *, k, rows, width):
+    """Double-buffered: DMA i+1 is in flight while i is consumed, so the
+    loop measures sustained issue+transfer cost, not per-DMA latency."""
     acc = jnp.zeros((rows, width), jnp.float32)
 
-    def body(i, acc):
+    def dma(slot, i):
         o = offs_ref[i]
-        cp = pltpu.make_async_copy(
+        return pltpu.make_async_copy(
             src_hbm.at[:, pl.ds(pl.multiple_of(o, 128), width)],
-            buf,
-            sem,
+            buf.at[slot],
+            sem.at[slot],
         )
-        cp.start()
-        cp.wait()
-        return acc + buf[:, :]
+
+    dma(0, 0).start()
+
+    def body(i, acc):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < k)
+        def _():
+            dma(1 - slot, i + 1).start()
+
+        dma(slot, i).wait()
+        return acc + buf[slot]
 
     acc = lax.fori_loop(0, k, body, acc)
     out_ref[:, :] = acc
@@ -93,8 +104,8 @@ def probe_dma_load(n_dmas, rows, width, e=4_000_000):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, width), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(
@@ -155,19 +166,84 @@ def probe_xbar(m=100_000):
 # --- P3: dynamic sublane-offset DMA ---------------------------------------
 
 
+def store_kernel(offs_ref, src_vmem, out_hbm, sem, *, k, rows, width):
+    """Dynamic-offset VMEM->HBM stores (the scatter's write side)."""
+
+    def dma(slot, i):
+        o = offs_ref[i]
+        return pltpu.make_async_copy(
+            src_vmem.at[:, pl.ds(0, width)],
+            out_hbm.at[:, pl.ds(pl.multiple_of(o, 128), width)],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < k)
+        def _():
+            dma(1 - slot, i + 1).start()
+
+        dma(slot, i).wait()
+        return 0
+
+    lax.fori_loop(0, k, body, 0)
+
+
+def probe_dma_store(n_dmas, rows, width, e=4_000_000):
+    src = jnp.ones((rows, width), jnp.float32)
+    offs = (np.random.default_rng(5).integers(0, (e - width) // 128, n_dmas) * 128
+            ).astype(np.int32)
+    offs = jnp.asarray(offs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    call = pl.pallas_call(
+        functools.partial(store_kernel, k=n_dmas, rows=rows, width=width),
+        out_shape=jax.ShapeDtypeStruct((rows, e), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    def fn(offs, src, i):
+        out = call(offs + (i % 2), src + i.astype(jnp.float32))
+        return out[0, 0]
+
+    dt = bench(f"P1s store {n_dmas}x[{rows},{width}]", fn, offs, src)
+    if dt:
+        per = dt / n_dmas
+        by = rows * width * 4
+        print(f"    -> {per*1e9:.0f} ns/DMA, {by/per/1e9:.1f} GB/s effective",
+              flush=True)
+
+
 def sublane_kernel(offs_ref, src_hbm, out_ref, buf, sem, *, k, rows, width):
+    def dma(slot, i):
+        o = offs_ref[i]
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(o, rows), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
     acc = jnp.zeros((rows, width), jnp.float32)
 
     def body(i, acc):
-        o = offs_ref[i]
-        cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(o, rows), :],
-            buf,
-            sem,
-        )
-        cp.start()
-        cp.wait()
-        return acc + buf[:, :]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < k)
+        def _():
+            dma(1 - slot, i + 1).start()
+
+        dma(slot, i).wait()
+        return acc + buf[slot]
 
     acc = lax.fori_loop(0, k, body, acc)
     out_ref[:, :] = acc
@@ -184,8 +260,8 @@ def probe_sublane_dma(n_dmas=2048, rows=64, width=16, e=4_000_000):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, width), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(
@@ -240,6 +316,8 @@ def main():
     probe_dma_load(2048, 16, 128)
     probe_dma_load(2048, 16, 512)
     probe_dma_load(512, 16, 2048)
+    probe_dma_store(2048, 16, 128)
+    probe_dma_store(2048, 16, 512)
     probe_xbar()
     probe_sublane_dma()
     probe_depth_sort()

@@ -47,7 +47,7 @@ for attempt in $(seq 1 "$TRIES"); do
     echo "[tpu_run] attempt $attempt exited rc=$rc" >> "$OUT"
     exit $rc
   fi
-  sleep 45  # cooldown before relaunch
+  sleep 240  # cooldown before relaunch (a wedged grant needs minutes of full idle to clear)
 done
 echo "[tpu_run] all attempts stalled" >> "$OUT"
 exit 125
