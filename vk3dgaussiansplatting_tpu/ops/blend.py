@@ -84,6 +84,7 @@ def blend_strip_colors_xla(
     carry_color=None,
     carry_logt=None,
     origin_y: int | jax.Array = 0,
+    features=None,
 ):
     """Carry-aware blend core over tiles [tile_base, tile_base + T_s).
 
@@ -103,11 +104,20 @@ def blend_strip_colors_xla(
       carry_logt: [T_s, P] accumulated log-transmittance entering this band
         (or None).  T_excl(j) = exp(carry_logt + sum of local log terms).
       origin_y: extra pixel-row offset for legacy strip-local callers.
+      features: optional pre-gathered per-element
+        (screen_pos [E,2], color_alpha [E,4], cov_inv [E,3]) — the routed
+        form the distributed exchange ships instead of all-gathering the
+        whole gaussian table (frame may then be None).
 
     Returns (colors [T_s, P, 3], logt_end [T_s, P]) — pre-clip accumulated
     color and the outgoing log-transmittance.
     """
-    screen_pos, color_alpha, cov_inv = gather_element_features(elements, frame)
+    if features is None:
+        screen_pos, color_alpha, cov_inv = gather_element_features(
+            elements, frame
+        )
+    else:
+        screen_pos, color_alpha, cov_inv = features
     tile = elements.tile
     e = tile.shape[0]
     p = config.tile_size * config.tile_size

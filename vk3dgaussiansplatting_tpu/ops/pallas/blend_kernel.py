@@ -55,40 +55,60 @@ NUM_FEATURES = 16  # feature rows: gx, gy, a, b, c, pad, r, g, b, galpha, pad*6
 
 
 def _build_features(
-    elements: SortElements, frame: GaussianFrameData, batch_k: int = BATCH_K
+    elements: SortElements,
+    frame: GaussianFrameData | None,
+    batch_k: int = BATCH_K,
+    features=None,
 ):
-    """Gather per-gaussian data into sorted-element order, feature-major.
+    """Per-element blend features in sorted order, feature-major.
 
     Returns [NUM_FEATURES, E_pad] float32 with
     rows [gx, gy, a, b, c, 0, r, g, b, galpha, 0...]; E padded to a multiple
     of BATCH_K plus one slack batch so K-aligned DMA slices stay in bounds.
-    """
-    idx = jnp.where(
-        elements.index == jnp.uint32(SENTINEL), jnp.uint32(0), elements.index
-    ).astype(jnp.int32)
-    live = (elements.index != jnp.uint32(SENTINEL)).astype(jnp.float32)
 
-    # Pack per-gaussian features once [N, 10], gather once [E, 10] — one
-    # wide-row gather is far cheaper on TPU than several narrow ones.
-    # The covariance rows are pre-scaled (a' = -a/2, b' = -b, c' = -c/2) so
-    # the kernel evaluates f = a'dx^2 + b'dxdy + c'dy^2 directly; scaling by
-    # powers of two commutes exactly through float rounding, so the result
-    # is bit-identical to the GLSL form -0.5(a dx^2 + c dy^2) - b dx dy
-    # (RenderGaussians.comp:117-124).
-    # Column-wise scales as one broadcast multiply (-b == -0.5*b*2 exactly;
-    # .at[:, 1].multiply would lower to an XLA scatter, banned in the frame
-    # path).
-    cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
-    table = jnp.concatenate(
-        [
-            frame.screen_pos,  # gx, gy
-            cov_scaled,  # a' = -a/2, b' = -b, c' = -c/2
-            jnp.zeros((frame.screen_pos.shape[0], 1), jnp.float32),
-            frame.color_alpha,  # r, g, b, galpha
-        ],
-        axis=-1,
-    )  # [N, 10]
-    rows = table[idx]  # [E, 10]
+    With `features` (pre-routed (screen_pos [E,2], color_alpha [E,4],
+    cov_inv [E,3]) from the distributed exchange), no gather happens and
+    `frame` may be None.
+    """
+    live = (elements.index != jnp.uint32(SENTINEL)).astype(jnp.float32)
+    if features is None:
+        idx = jnp.where(
+            elements.index == jnp.uint32(SENTINEL), jnp.uint32(0),
+            elements.index,
+        ).astype(jnp.int32)
+        # Pack per-gaussian features once [N, 10], gather once [E, 10] — one
+        # wide-row gather is far cheaper on TPU than several narrow ones.
+        # The covariance rows are pre-scaled (a' = -a/2, b' = -b, c' = -c/2)
+        # so the kernel evaluates f = a'dx^2 + b'dxdy + c'dy^2 directly;
+        # scaling by powers of two commutes exactly through float rounding,
+        # so the result is bit-identical to the GLSL form
+        # -0.5(a dx^2 + c dy^2) - b dx dy (RenderGaussians.comp:117-124).
+        # Column-wise scales as one broadcast multiply (-b == -0.5*b*2
+        # exactly; .at[:, 1].multiply would lower to an XLA scatter, banned
+        # in the frame path).
+        cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
+        table = jnp.concatenate(
+            [
+                frame.screen_pos,  # gx, gy
+                cov_scaled,  # a' = -a/2, b' = -b, c' = -c/2
+                jnp.zeros((frame.screen_pos.shape[0], 1), jnp.float32),
+                frame.color_alpha,  # r, g, b, galpha
+            ],
+            axis=-1,
+        )  # [N, 10]
+        rows = table[idx]  # [E, 10]
+    else:
+        screen_pos, color_alpha, cov_inv = features
+        cov_scaled = cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
+        rows = jnp.concatenate(
+            [
+                screen_pos,
+                cov_scaled,
+                jnp.zeros((screen_pos.shape[0], 1), jnp.float32),
+                color_alpha,
+            ],
+            axis=-1,
+        )  # [E, 10]
     # Dead slots contribute nothing: zero galpha (col 9) via concatenate —
     # a column .at[].multiply lowers to an XLA scatter, banned in the frame
     # path.
@@ -530,11 +550,12 @@ def blend_tiles_pallas(
 def blend_strip_colors_pallas(
     elements: SortElements,
     ranges,
-    frame: GaussianFrameData,
+    frame: GaussianFrameData | None,
     config: RenderConfig,
     tile_base,
     carry_color,
     carry_logt,
+    features=None,
 ):
     """Carry-aware strip blend (Pallas tier) — the distributed depth-banded
     pipeline's per-phase primitive (parallel/dist.py).
@@ -551,7 +572,7 @@ def blend_strip_colors_pallas(
     p = config.tile_size * config.tile_size
     bk = config.blend_batch_k
     assert bk % ALIGN_K == 0, "blend_batch_k must be a multiple of 128"
-    feat = _build_features(elements, frame, bk)
+    feat = _build_features(elements, frame, bk, features=features)
     tile_base = jnp.asarray(tile_base, jnp.int32)
     strip_ranges = jax.lax.dynamic_slice_in_dim(ranges, tile_base, num_tiles, 0)
     starts = strip_ranges[:, 0].astype(jnp.int32)

@@ -147,23 +147,22 @@ def _depth_band_thresholds(depth, ndev: int):
     return all_s[ranks]  # [ndev-1] u32, ascending
 
 
-def _bucket_by_destination(elements: SortElements, dest, ndev: int, slab: int):
-    """Pack local elements into [ndev, slab] slots grouped by destination
-    device, preserving (tile, depth, id)-compatible order within each slab.
+def _bucket_by_destination(cols, dest, ndev: int, slab: int):
+    """Pack local element columns into [ndev, slab, C] slots grouped by
+    destination device, preserving input order within each slab.
 
-    Scatter-free (CLAUDE.md: XLA scatter is pathological on this stack): one
-    stable multi-operand sort keyed by destination groups the elements,
-    `searchsorted` locates each destination's run, and ONE packed row gather
-    materializes the slabs.  A run longer than `slab` drops its tail,
-    mirroring the reference's sort-list overflow rule
-    (InitSortList.comp:143).
+    `cols`: list of [E] uint32 columns (keys first; routed feature words may
+    follow, bitcast to u32).  Scatter-free (CLAUDE.md: XLA scatter is
+    pathological on this stack): one stable multi-operand sort keyed by
+    destination groups the elements, `searchsorted` locates each
+    destination's run, and ONE packed row gather materializes the slabs.  A
+    run longer than `slab` drops its tail, mirroring the reference's
+    sort-list overflow rule (InitSortList.comp:143).
     """
-    dest_s, tile_s, depth_s, index_s = jax.lax.sort(
-        (dest, elements.tile, elements.depth, elements.index),
-        dimension=0,
-        num_keys=1,
-        is_stable=True,
+    sorted_cols = jax.lax.sort(
+        (dest, *cols), dimension=0, num_keys=1, is_stable=True
     )
+    dest_s, cols_s = sorted_cols[0], sorted_cols[1:]
     starts = jnp.searchsorted(
         dest_s, jnp.arange(ndev + 1, dtype=jnp.uint32), side="left"
     ).astype(jnp.int32)  # [ndev+1]
@@ -174,15 +173,11 @@ def _bucket_by_destination(elements: SortElements, dest, ndev: int, slab: int):
     in_run = src < starts[d_of + 1]
     src = jnp.where(in_run, src, 0)
 
-    packed = jnp.stack([tile_s, depth_s, index_s], axis=-1)  # [E, 3]
-    out = packed[src]  # [ndev*slab, 3]
+    packed = jnp.stack(cols_s, axis=-1)  # [E, C]
+    out = packed[src]  # [ndev*slab, C]
     sent = jnp.uint32(SENTINEL)
     out = jnp.where(in_run[:, None], out, sent)
-    return (
-        out[:, 0].reshape(ndev, slab),
-        out[:, 1].reshape(ndev, slab),
-        out[:, 2].reshape(ndev, slab),
-    )
+    return out.reshape(ndev, slab, len(cols))
 
 
 def _sort3(tile, depth, index):
@@ -198,6 +193,7 @@ def make_distributed_render(
     *,
     use_pallas_blend: bool = False,
     return_stats: bool = False,
+    route_features: bool = True,
 ):
     """Build the jitted multi-device frame function.
 
@@ -224,9 +220,26 @@ def make_distributed_render(
         elements, frame = keygen_ops.generate_sort_elements(
             table, view, proj, cam_pos, config, dist.local_capacity
         )
+        live = elements.index != jnp.uint32(SENTINEL)
+
+        if route_features:
+            # Per-element blend features from the LOCAL frame table (indices
+            # are still local here); they ride the exchange bitcast to u32,
+            # replacing the O(N_total) frame-data all_gather with O(E/ndev)
+            # routed rows (VERDICT r1 weak #5).
+            sp_l, ca_l, ci_l = blend_ops.gather_element_features(
+                elements, frame
+            )
+            feat_u32 = [
+                jax.lax.bitcast_convert_type(c, jnp.uint32)
+                for arr in (sp_l, ca_l, ci_l)
+                for c in (arr[:, j] for j in range(arr.shape[1]))
+            ]  # 2 + 4 + 3 = 9 columns
+        else:
+            feat_u32 = []
+
         # globalize gaussian ids
         offset = (shard_id * n_local).astype(jnp.uint32)
-        live = elements.index != jnp.uint32(SENTINEL)
         elements = SortElements(
             tile=elements.tile,
             depth=elements.depth,
@@ -234,13 +247,20 @@ def make_distributed_render(
             count=elements.count,
         )
 
-        # replicate frame data (all_gather along shard axis)
-        frame_all = GaussianFrameData(
-            color_alpha=lax.all_gather(frame.color_alpha, SHARD_AXIS, tiled=True),
-            cov2d=lax.all_gather(frame.cov2d, SHARD_AXIS, tiled=True),
-            cov_inv=lax.all_gather(frame.cov_inv, SHARD_AXIS, tiled=True),
-            screen_pos=lax.all_gather(frame.screen_pos, SHARD_AXIS, tiled=True),
-        )
+        if not route_features:
+            # replicate frame data (all_gather along shard axis)
+            frame_all = GaussianFrameData(
+                color_alpha=lax.all_gather(
+                    frame.color_alpha, SHARD_AXIS, tiled=True
+                ),
+                cov2d=lax.all_gather(frame.cov2d, SHARD_AXIS, tiled=True),
+                cov_inv=lax.all_gather(frame.cov_inv, SHARD_AXIS, tiled=True),
+                screen_pos=lax.all_gather(
+                    frame.screen_pos, SHARD_AXIS, tiled=True
+                ),
+            )
+        else:
+            frame_all = None
 
         # depth-banded destination: (owner + band) mod ndev
         thr = _depth_band_thresholds(elements.depth, ndev)
@@ -251,19 +271,40 @@ def make_distributed_render(
         dest = jnp.where(
             live, (owner + band) % jnp.uint32(ndev), jnp.uint32(ndev)
         )
-        bt, bd, bi = _bucket_by_destination(
-            elements, dest, ndev, dist.slab_capacity
-        )
-        rt = lax.all_to_all(bt, SHARD_AXIS, 0, 0, tiled=False).reshape(-1)
-        rd = lax.all_to_all(bd, SHARD_AXIS, 0, 0, tiled=False).reshape(-1)
-        ri = lax.all_to_all(bi, SHARD_AXIS, 0, 0, tiled=False).reshape(-1)
+        cols = [elements.tile, elements.depth, elements.index, *feat_u32]
+        slabs = _bucket_by_destination(cols, dest, ndev, dist.slab_capacity)
+        recv = lax.all_to_all(slabs, SHARD_AXIS, 0, 0, tiled=False)
+        recv = recv.reshape(-1, len(cols))
 
         # local (tile, depth, id) sort; tile ids stay GLOBAL — this device
-        # holds one depth band of every tile.
-        st, sd, si = _sort3(rt, rd, ri)
+        # holds one depth band of every tile.  (tile, index) pairs are
+        # unique, so num_keys=3 fully determines the order; routed feature
+        # words ride as payload.
+        sorted_cols = jax.lax.sort(
+            tuple(recv[:, j] for j in range(len(cols))),
+            dimension=0,
+            num_keys=3,
+        )
+        st, sd, si = sorted_cols[:3]
         live_r = st != jnp.uint32(SENTINEL)
         count = jnp.sum(live_r).astype(jnp.uint32)
         local_elements = SortElements(tile=st, depth=sd, index=si, count=count)
+        if route_features:
+            # Dead slots carry sentinel words that bitcast to NaN; zero them
+            # (0 * NaN = NaN would poison the blend's color contraction).
+            f32 = [
+                jnp.where(
+                    live_r, jax.lax.bitcast_convert_type(c, jnp.float32), 0.0
+                )
+                for c in sorted_cols[3:]
+            ]
+            features = (
+                jnp.stack(f32[0:2], axis=-1),  # screen_pos [E, 2]
+                jnp.stack(f32[2:6], axis=-1),  # color_alpha [E, 4]
+                jnp.stack(f32[6:9], axis=-1),  # cov_inv [E, 3]
+            )
+        else:
+            features = None
         ranges = ranges_ops.find_ranges(local_elements, config.num_tiles)
 
         # systolic banded blend: phase s blends strip (d - s) mod ndev with
@@ -285,6 +326,7 @@ def make_distributed_render(
                     tile_base=tile_base,
                     carry_color=cc,
                     carry_logt=cl,
+                    features=features,
                 )
             else:
                 colors, logt = blend_ops.blend_strip_colors_xla(
@@ -296,6 +338,7 @@ def make_distributed_render(
                     num_strip_tiles=tiles_per_dev,
                     carry_color=cc,
                     carry_logt=cl,
+                    features=features,
                 )
             cc2 = lax.ppermute(colors, SHARD_AXIS, perm)
             cl2 = lax.ppermute(logt, SHARD_AXIS, perm)
