@@ -24,21 +24,30 @@ sys.path.insert(0, ".")
 
 
 def bench(name, make_digest, iters=8):
+    """Chained-dispatch timing: dispatch `iters+1` runs back-to-back (async,
+    serialized on the core) and fetch one scalar; subtract the 1-run time.
+
+    (An in-jit `lax.fori_loop` over the pass was the original protocol, but
+    fori-wrapped big programs hang the remote compile helper at garden scale
+    — observed twice on 2026-08-20; per-run dispatch compiles the plain pass
+    program and measures the same thing.)
+    """
+    f = jax.jit(make_digest)
+
     def run(n):
-        def body(i, acc):
-            return acc * jnp.float32(1e-20) + make_digest(acc * jnp.float32(1e-20))
+        d = None
+        for i in range(n):
+            d = f(jnp.float32(i) * jnp.float32(1e-6))
+        return float(d)
 
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    f = jax.jit(run)
     t0 = time.perf_counter()
-    float(f(jnp.int32(1)))
+    run(1)
     print(f"  [{name}] compile+first {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    float(f(jnp.int32(1)))
+    run(1)
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(f(jnp.int32(iters + 1)))
+    run(iters + 1)
     tn = time.perf_counter() - t0
     dt = (tn - t1) / iters
     print(f"{name}: {dt*1e3:.2f} ms", flush=True)
