@@ -234,7 +234,14 @@ def main():
 
         return chained
 
-    dispatch = [frame_digest]
+    # At garden scale the single-frame monolithic program breaks the remote
+    # compile helper (transport broken pipe after ~25 min, observed 2026-08-20)
+    # AND risks wedging the tunnel; go straight to per-pass dispatch there.
+    big_scene = on_tpu and target_elems > 6_000_000
+    dispatch = [make_chained() if big_scene else frame_digest]
+    if big_scene:
+        log("big scene: chained per-pass dispatch (monolithic frame program "
+            "breaks the remote compiler at this scale)")
 
     def run(num_frames):
         d = None
@@ -246,6 +253,8 @@ def main():
     try:
         run(1)
     except Exception as e:  # noqa: BLE001 — remote compile can die; fall back
+        if big_scene:
+            raise
         log(f"monolithic frame compile failed ({type(e).__name__}); "
             f"falling back to chained per-pass dispatch")
         dispatch[0] = make_chained()
