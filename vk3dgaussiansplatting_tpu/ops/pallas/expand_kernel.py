@@ -17,9 +17,15 @@ Per 512-slot window (one grid step):
      rows plus the inclusive cumsum as row 7 (the next window's slice is
      prefetched double-buffered);
   3. the covering row of each slot is the compare-count
-     cnt[j] = sum_i (cum[i] <= j) over the chunk — the cum row is transposed
-     to sublanes and one broadcast compare [512 rows x 512 slots] is reduced
-     over sublanes (all Mosaic-supported; probed on v5e);
+     cnt[j] = sum_i (cum[i] <= j) over the chunk, computed in TWO levels:
+     a coarse count over the 64 group-of-8 last-values ([64 x 512] compare)
+     plus a fine count inside the covering group (a 128-lane crossbar gather
+     of the group's 8 cum values + [8 x 512] compare).  The group layout
+     cum_g[k, g] = cum[8g + k] is precomputed OUTSIDE the kernel (XLA
+     reshape) and shipped as a second [8, N_pad] input — in-kernel strided
+     slices / 1D->2D shape casts fail the server-side Mosaic compiler
+     (observed 2026-08-20), precomputed layouts avoid them entirely.  This
+     replaces the earlier flat [512 x 512] compare (~4x the vector work);
   4. the expansion itself is Mosaic's vreg lane-crossbar
      (`tpu.dynamic_gather`, reached via `jnp.take_along_axis(x, idx, axis=1)`
      with idx.shape == x.shape): 4 slot lane-groups x 4 source lane-groups
@@ -56,6 +62,8 @@ GROUP = 128
 NUM_ROWS = 8  # 7 value rows + the cumsum control row
 CUM_ROW = NUM_ROWS - 1
 MAX_COLS = NUM_ROWS - 1
+GROUP_OF = 8  # cum rows per coarse group (two-level count)
+GROUP_ROWS = 8  # sublane rows of the precomputed group layout
 
 _HUGE = 2**31 - 1
 
@@ -89,13 +97,62 @@ def _gather_groups(vals_buf, local, found):
     return jnp.concatenate(out_groups, axis=1)
 
 
+def _count_two_level(vbuf, gbuf, j_eff):
+    """cnt[j] = #{rows i in chunk : cum[i] <= j_eff[j]}, two-level.
+
+    vbuf: [NUM_ROWS, W] value chunk (row CUM_ROW = flat cumsum).
+    gbuf: [GROUP_ROWS, W] group layout: gbuf[k, g] = cum[8g + k] for
+          g < W//8 (lanes beyond W//8 hold _HUGE padding).
+    Coarse: count groups whose LAST value (gbuf row 7) <= j — one
+    [64 x W] compare.  Fine: crossbar-gather the covering group's 8 cum
+    values (indices < 64 are group-0-local, the proven [8,128] pattern)
+    and count within — one [8 x W] compare.  `searching`-free; returns
+    [1, W] i32.
+    """
+    ngroups = WINDOW // GROUP_OF  # 64
+    # Coarse: group-last values as sublanes.  gbuf[7, 0:128] holds
+    # cum[8g+7] for g<64 (lanes 64-127 _HUGE); transpose+slice to [64, 1].
+    last_lane = gbuf[GROUP_ROWS - 1 : GROUP_ROWS, 0:GROUP].T  # [128, 1]
+    last_col = last_lane[0:ngroups, :]  # [64, 1]
+    coarse = jnp.sum(
+        (last_col <= j_eff).astype(jnp.int32), axis=0, keepdims=True
+    )  # [1, W] in [0, 64]
+    coarse_c = jnp.minimum(coarse, ngroups - 1)
+
+    # Fine: gather the covering group's 8 cum values per slot.  Source is
+    # the group-0 lane slice [8, 128] (indices < 64), destination decomposed
+    # into 128-lane groups exactly like _gather_groups.
+    src = gbuf[:, 0:GROUP]  # [8, 128]
+    fine_parts = []
+    for g in range(WINDOW // GROUP):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        idx_g = jnp.broadcast_to(coarse_c[:, sl], (GROUP_ROWS, GROUP))
+        gath = jnp.take_along_axis(src, idx_g, axis=1)  # [8, 128]
+        fine_parts.append(
+            jnp.sum(
+                (gath <= j_eff[:, sl]).astype(jnp.int32),
+                axis=0,
+                keepdims=True,
+            )
+        )
+    fine = jnp.concatenate(fine_parts, axis=1)  # [1, W]
+    return jnp.where(
+        coarse >= ngroups,
+        jnp.int32(WINDOW),
+        coarse * jnp.int32(GROUP_OF) + fine,
+    )
+
+
 def _expand_kernel(
     sw_ref,  # [B] i32 scalar-prefetch: aligned first source row per window
     total_ref,  # [1] i32 scalar-prefetch: live element count (cum[-1])
     vals_hbm,  # [NUM_ROWS, N_pad] i32 packed source rows (row 7 = cumsum)
+    cumg_hbm,  # [GROUP_ROWS, N_pad] i32 per-chunk group layout of the cumsum
     out_ref,  # [NUM_ROWS, WINDOW] block at (0, b)
     vals_buf,  # [2, NUM_ROWS, WINDOW] VMEM scratch
+    cumg_buf,  # [2, GROUP_ROWS, WINDOW] VMEM scratch
     sems,  # DMA semaphores [2]
+    gsems,  # DMA semaphores [2] for the group-layout chunk
     *,
     n_pad: int,
 ):
@@ -103,6 +160,7 @@ def _expand_kernel(
     nb = pl.num_programs(0)
     slot = lax.rem(b, 2)
     max_start = n_pad - WINDOW
+    total = total_ref[0]
 
     def dma(buf_slot, row0):
         row0 = jnp.minimum(row0, max_start)
@@ -113,64 +171,87 @@ def _expand_kernel(
             sems.at[buf_slot],
         )
 
-    @pl.when(b == 0)
+    def dma_g(buf_slot, row0):
+        row0 = jnp.minimum(row0, max_start)
+        row0 = pl.multiple_of(row0, WINDOW)
+        return pltpu.make_async_copy(
+            cumg_hbm.at[:, pl.ds(row0, WINDOW)],
+            cumg_buf.at[buf_slot],
+            gsems.at[buf_slot],
+        )
+
+    # Windows are live iff their first slot is below the live total;
+    # liveness is monotone in b, so dead windows never interleave live ones.
+    live_w = b * jnp.int32(WINDOW) < total
+
+    @pl.when((b == 0) & live_w)
     def _():
         dma(0, sw_ref[0]).start()
+        dma_g(0, sw_ref[0]).start()
 
-    @pl.when(b + 1 < nb)
+    @pl.when((b + 1 < nb) & ((b + 1) * jnp.int32(WINDOW) < total))
     def _():
         dma(1 - slot, sw_ref[b + 1]).start()
+        dma_g(1 - slot, sw_ref[b + 1]).start()
 
-    dma(slot, sw_ref[b]).wait()
+    @pl.when(jnp.logical_not(live_w))
+    def _():
+        # Fully-dead window (overflow-drop tail): the caller masks these
+        # slots to sentinels; skip the DMA + count machinery entirely.
+        out_ref[:, :] = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
 
-    total = total_ref[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
-    j = b * jnp.int32(WINDOW) + lane
-    j_eff = jnp.maximum(jnp.minimum(j, total - 1), 0)  # [1, W]
+    @pl.when(live_w)
+    def _():
+        dma(slot, sw_ref[b]).wait()
+        dma_g(slot, sw_ref[b]).wait()
 
-    def process_chunk(vbuf, searching, acc):
-        # cnt[j] = #{rows i in chunk : cum[i] <= j_eff[j]} via the flat
-        # [W rows x W slots] broadcast compare.  (A hierarchical stride-8
-        # two-level count cuts this ~4x on paper, but every formulation of
-        # the group-maxima extraction — strided slice, 1D->2D reshape —
-        # fails Mosaic server-side (`infer-vector-layout: unsupported shape
-        # cast`, observed 2026-08-20 on the axon remote compiler even though
-        # client-side lowering passes).  The flat form is the one proven to
-        # compile AND run on v5e.)  `searching` is an i32 0/1 mask: Mosaic
-        # cannot carry i1 vectors through `lax.while_loop` (scf.yield
-        # legalization fails on vpad'd i1).
-        cum_t = vbuf[CUM_ROW : CUM_ROW + 1, :].T  # [W rows, 1]
-        mask = (cum_t <= j_eff).astype(jnp.int32)  # [W rows, W slots]
-        cnt = jnp.sum(mask, axis=0, keepdims=True)  # [1, W]
-        found_here = (searching > 0) & (cnt < WINDOW)
-        gathered = _gather_groups(vbuf, cnt, found_here)
-        acc = acc + gathered  # unfound lanes contribute 0
-        searching = jnp.where(cnt >= WINDOW, searching, 0)
-        return searching, acc
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+        j = b * jnp.int32(WINDOW) + lane
+        j_eff = jnp.maximum(jnp.minimum(j, total - 1), 0)  # [1, W]
 
-    searching0 = jnp.ones((1, WINDOW), jnp.int32)
-    acc0 = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
-    searching1, acc1 = process_chunk(vals_buf[slot], searching0, acc0)
+        def process_chunk(vbuf, gbuf, searching, acc):
+            # `searching` is an i32 0/1 mask: Mosaic cannot carry i1
+            # vectors through `lax.while_loop` (scf.yield legalization
+            # fails on vpad'd i1).
+            cnt = _count_two_level(vbuf, gbuf, j_eff)
+            found_here = (searching > 0) & (cnt < WINDOW)
+            gathered = _gather_groups(vbuf, cnt, found_here)
+            acc = acc + gathered  # unfound lanes contribute 0
+            searching = jnp.where(cnt >= WINDOW, searching, 0)
+            return searching, acc
 
-    # Rare slow path: the window's span exceeds one chunk (long culled runs
-    # or >512 single-tile gaussians per window).  Refill the same buffer
-    # slot — the next window's prefetch lives in the other slot.
-    def cond(carry):
-        c, searching, _ = carry
-        row0 = sw_ref[b] + c * jnp.int32(WINDOW)
-        return (jnp.max(searching) > 0) & (row0 <= max_start)
+        searching0 = jnp.ones((1, WINDOW), jnp.int32)
+        acc0 = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
+        searching1, acc1 = process_chunk(
+            vals_buf[slot], cumg_buf[slot], searching0, acc0
+        )
 
-    def body(carry):
-        c, searching, acc = carry
-        row0 = sw_ref[b] + c * jnp.int32(WINDOW)
-        d = dma(slot, row0)
-        d.start()
-        d.wait()
-        searching, acc = process_chunk(vals_buf[slot], searching, acc)
-        return c + 1, searching, acc
+        # Rare slow path: the window's span exceeds one chunk (long culled
+        # runs or >512 single-tile gaussians per window).  Refill the same
+        # buffer slot — the next window's prefetch lives in the other slot.
+        def cond(carry):
+            c, searching, _ = carry
+            row0 = sw_ref[b] + c * jnp.int32(WINDOW)
+            return (jnp.max(searching) > 0) & (row0 <= max_start)
 
-    _, _, acc = lax.while_loop(cond, body, (jnp.int32(1), searching1, acc1))
-    out_ref[:, :] = acc
+        def body(carry):
+            c, searching, acc = carry
+            row0 = sw_ref[b] + c * jnp.int32(WINDOW)
+            d = dma(slot, row0)
+            dg = dma_g(slot, row0)
+            d.start()
+            dg.start()
+            d.wait()
+            dg.wait()
+            searching, acc = process_chunk(
+                vals_buf[slot], cumg_buf[slot], searching, acc
+            )
+            return c + 1, searching, acc
+
+        _, _, acc = lax.while_loop(
+            cond, body, (jnp.int32(1), searching1, acc1)
+        )
+        out_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -206,6 +287,20 @@ def expand_rows(packed_cols, counts, capacity: int):
     cum_pad = jnp.pad(cum, (0, pad), constant_values=_HUGE)
     vals = jnp.stack(rows + [cum_pad], axis=0)  # [NUM_ROWS, N_pad]
 
+    # Per-chunk group layout for the kernel's two-level count:
+    # cumg[k, 512c + g] = cum[512c + 8g + k] for g < 64; lanes 64-511 of
+    # each chunk hold _HUGE.  Built here with XLA reshapes (in-kernel shape
+    # casts fail the server-side Mosaic compiler).
+    nchunks = n_pad // WINDOW
+    cum_g = cum_pad.reshape(nchunks, WINDOW // GROUP_OF, GROUP_OF)
+    cum_g = cum_g.transpose(0, 2, 1)  # [C, 8, 64]
+    cum_g = jnp.pad(
+        cum_g,
+        ((0, 0), (0, 0), (0, WINDOW - WINDOW // GROUP_OF)),
+        constant_values=_HUGE,
+    )  # [C, 8, 512]
+    cumg = cum_g.transpose(1, 0, 2).reshape(GROUP_ROWS, n_pad)
+
     # First source row per window, aligned down to the chunk size.  Windows
     # past the live total clamp their probe so the kernel never scans the
     # culled tail.
@@ -217,12 +312,17 @@ def expand_rows(packed_cols, counts, capacity: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_windows,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec(
             (NUM_ROWS, WINDOW), lambda b, *_: (0, b), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, WINDOW), jnp.int32),
+            pltpu.VMEM((2, GROUP_ROWS, WINDOW), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -231,7 +331,7 @@ def expand_rows(packed_cols, counts, capacity: int):
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, num_windows * WINDOW), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
-    )(sw, total.reshape(1), vals)
+    )(sw, total.reshape(1), vals, cumg)
 
     cols = [out[i, :capacity] for i in range(len(packed_cols))]
     return cols, total
