@@ -226,11 +226,26 @@ def main():
             + count.astype(jnp.float32) * jnp.float32(1e-9)
         )
 
+        first = [True]
+
         def chained(eps):
+            # First call: log after each pass's (slow, remote) compile so
+            # the tpu_run stall detector sees liveness between compiles.
+            t0 = time.time()
             el, fr = kg(eps)
+            if first[0]:
+                log(f"  [compile] keygen done t+{time.time()-t0:.0f}s")
             el = so(el)
+            if first[0]:
+                log(f"  [compile] sort done t+{time.time()-t0:.0f}s")
             r = rg(el)
-            return dig(bl(el, r, fr), el.count)
+            if first[0]:
+                log(f"  [compile] ranges done t+{time.time()-t0:.0f}s")
+            out = dig(bl(el, r, fr), el.count)
+            if first[0]:
+                log(f"  [compile] blend+digest done t+{time.time()-t0:.0f}s")
+                first[0] = False
+            return out
 
         return chained
 

@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--skip-blend", action="store_true")
     ap.add_argument("--mult", type=float, default=None,
                     help="skip calibration; use this scale multiplier")
+    ap.add_argument("--sat-diag", action="store_true",
+                    help="saturation-truncation diagnostic: per-cap valid-tile "
+                         "fraction + element reduction (drives the capped-"
+                         "gather design)")
     args = ap.parse_args()
 
     import math
@@ -161,6 +165,34 @@ def main():
         return jnp.sum(feat[:, :8])
 
     bench("feature gather+pack", gather_digest)
+
+    if args.sat_diag:
+        # For each cap C: a tile is EXACT under truncation at C iff its
+        # range fits (r <= C) or every pixel's transmittance is below the
+        # stop threshold at the cap (T monotone).  Reports the valid-tile
+        # fraction and the element-gather reduction sum(min(r, C))/sum(r).
+        r = (ranges[:, 1] - ranges[:, 0]).astype(jnp.int32)
+        for cap_v in (256, 512, 1024, 2048):
+            @jax.jit
+            def diag(cap=cap_v):
+                _, t_out = blend_kernel.blend_tiles_pallas_flat(
+                    sorted_elems, ranges, frame, config, cap=cap, with_t=True
+                )
+                tmax = jnp.max(t_out, axis=1)
+                valid = (r <= cap) | (tmax < jnp.float32(config.transmittance_stop))
+                kept = jnp.sum(jnp.minimum(r, cap))
+                return jnp.mean(valid.astype(jnp.float32)), kept
+
+            t0 = time.time()
+            vfrac, kept = jax.jit(diag)()
+            vfrac, kept = float(vfrac), int(kept)
+            tot = int(jnp.sum(r))
+            print(
+                f"sat-diag cap={cap_v}: valid_tiles={vfrac*100:.2f}% "
+                f"elements kept={kept/1e6:.2f}M/{tot/1e6:.2f}M "
+                f"({100*kept/max(tot,1):.1f}%)  [{time.time()-t0:.0f}s]",
+                flush=True,
+            )
 
     if not args.skip_blend:
         def blend_digest(s):

@@ -355,7 +355,11 @@ def _blend_flat_kernel(
 
         @pl.when(nbt == 0)
         def _():
-            out_ref[0, :, :] = jnp.zeros((4, p), jnp.float32)
+            # Row 3 is the per-pixel outgoing transmittance: 1.0 untouched.
+            out_ref[0, :, :] = jnp.concatenate(
+                [jnp.zeros((3, p), jnp.float32), jnp.ones((1, p), jnp.float32)],
+                axis=0,
+            )
 
     @pl.when(b < nbt)
     def _():
@@ -429,26 +433,52 @@ def _blend_flat_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [4,P]
-            prev = jnp.where(
-                is_first, jnp.zeros((4, p), jnp.float32), out_ref[0, :, :]
+            prev3 = jnp.where(
+                is_first, jnp.zeros((3, p), jnp.float32), out_ref[0, 0:3, :]
             )
-            out_ref[0, :, :] = prev + contrib
-            t_scr[:, :] = t_excl[:, -1:] * q[:, -1:]
+            t_new = t_excl[:, -1:] * q[:, -1:]  # [P,1]
+            # Row 3 carries the running per-pixel transmittance out of the
+            # kernel — the saturation-truncation path's validity signal
+            # (exactness: a tile capped at C elements is exact iff all its
+            # pixels have T < stop at the cap, since T is monotone).
+            out_ref[0, :, :] = jnp.concatenate(
+                [prev3 + contrib[0:3, :], t_new.T], axis=0
+            )
+            t_scr[:, :] = t_new
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(
+    jax.jit, static_argnames=("config", "cap", "with_t")
+)
 def blend_tiles_pallas_flat(
     elements: SortElements,
     ranges,
     frame: GaussianFrameData,
     config: RenderConfig,
     origin_y: int | jax.Array = 0,
+    *,
+    cap: int = 0,
+    with_t: bool = False,
 ):
-    """Flat-scheduled blend; returns float32 [H, W, 3]."""
+    """Flat-scheduled blend; returns float32 [H, W, 3].
+
+    cap > 0: truncate every tile's range to its first `cap` sorted elements
+    (the saturation-truncation schedule).  with_t: also return the per-tile
+    per-pixel outgoing transmittance [num_tiles, P] — `cap` is exact for a
+    tile iff its range fits the cap or max-over-pixels T < stop there.
+    """
     capacity = elements.tile.shape[0]
     bk = config.blend_batch_k
     assert bk % ALIGN_K == 0, "blend_batch_k must be a multiple of 128"
     feat = _build_features(elements, frame, bk)
+    if cap:
+        ranges = jnp.stack(
+            [
+                ranges[:, 0],
+                jnp.minimum(ranges[:, 1], ranges[:, 0] + jnp.uint32(cap)),
+            ],
+            axis=1,
+        )
     tile_of_batch, k0_of_batch, is_first, nb_total, has = _flat_schedule(
         ranges, config, capacity
     )
@@ -489,13 +519,18 @@ def blend_tiles_pallas_flat(
         origin,
         feat,
     )
-    # Tiles with no batches are never visited by the grid: zero them.
-    tile_colors = jnp.where(has[:, None, None], tile_colors, 0.0)
+    # Tiles with no batches are never visited by the grid: zero the colors
+    # (their transmittance row reads as "untouched": T = 1).
+    rgb = jnp.where(has[:, None, None], tile_colors[:, :3, :], 0.0)
 
     gh, gw, ts = config.grid_height, config.grid_width, config.tile_size
-    img = jnp.clip(tile_colors[:, :3, :], 0.0, 1.0).reshape(gh, gw, 3, ts, ts)
+    img = jnp.clip(rgb, 0.0, 1.0).reshape(gh, gw, 3, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(gh * ts, gw * ts, 3)
-    return img[: config.height, : config.width]
+    img = img[: config.height, : config.width]
+    if with_t:
+        t_out = jnp.where(has[:, None], tile_colors[:, 3, :], 1.0)
+        return img, t_out
+    return img
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
