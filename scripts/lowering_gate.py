@@ -154,6 +154,23 @@ def main():
         forbid_scatter=True,
     )
 
+    # --- capped (saturation-truncated) blend with fallback -----------------
+    import dataclasses as _dc
+
+    from vk3dgaussiansplatting_tpu.ops import capped as capped_mod
+
+    cap_cfg = _dc.replace(CONFIG, blend_depth_cap=256)
+    elements_s = elements  # same abstract shapes post-sort
+    cranges = jax.ShapeDtypeStruct((CONFIG.num_tiles, 2), jnp.uint32)
+    _lower_tpu(
+        lambda e, r, f: capped_mod.blend_tiles_capped(e, r, f, cap_cfg),
+        elements_s,
+        cranges,
+        frame,
+        name="blend_tiles_capped[cap=256]",
+        forbid_scatter=True,
+    )
+
     # --- distributed frame program (4-device mesh) -------------------------
     from vk3dgaussiansplatting_tpu.parallel import dist as dist_mod
     from vk3dgaussiansplatting_tpu.parallel.mesh import make_mesh

@@ -311,6 +311,59 @@ def probe_wide_sort(n=5_834_784, cols=8):
     bench(f"P4b lax.sort u32+{cols}xu32 @{n/1e6:.1f}M", fn, key)
 
 
+# --- P6/P7: XLA row-gather cost structure ---------------------------------
+
+
+def probe_row_gather(e=4_194_304, n=4_000_000, width=16, sorted_idx=False,
+                     name=""):
+    """ns/row of jnp.take rows [N,width] -> [E,width]; the capped-gather
+    design hinges on whether piecewise-sorted indices beat random ones."""
+    table = jnp.ones((n, width), jnp.float32)
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, n, e).astype(np.int32)
+    if sorted_idx:
+        idx = np.sort(idx)
+    idx = jnp.asarray(idx)
+
+    def fn(table, idx, i):
+        rows = jnp.take(table, idx + (i % 2), axis=0,
+                        indices_are_sorted=sorted_idx, mode="clip")
+        return rows[0, 0] + rows[-1, -1]
+
+    dt = bench(f"P6 gather [{n/1e6:.1f}M,{width}] x {e/1e6:.1f}M "
+               f"{'sorted' if sorted_idx else 'random'}{name}", fn, table, idx,
+               iters=4)
+    if dt:
+        print(f"    -> {dt/e*1e9:.2f} ns/row", flush=True)
+
+
+def probe_roll_dynamic():
+    """pltpu.roll with a traced shift — the segment compactor's align trick."""
+
+    def k(s_ref, x_ref, o_ref):
+        o_ref[:, :] = pltpu.roll(x_ref[:, :], s_ref[0], 1)
+
+    x = jnp.arange(8 * 256, dtype=jnp.int32).reshape(8, 256)
+    s = jnp.asarray([37], jnp.int32)
+    try:
+        call = pl.pallas_call(
+            k,
+            out_shape=jax.ShapeDtypeStruct((8, 256), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        got = np.asarray(jax.jit(call)(s, x))
+        want = np.roll(np.asarray(x), 37, axis=1)
+        print(f"P8 dynamic roll: OK correct={np.array_equal(got, want)}",
+              flush=True)
+    except Exception as ex:  # noqa: BLE001
+        print(f"P8 dynamic roll: FAIL {type(ex).__name__}: {str(ex)[:160]}",
+              flush=True)
+
+
 def main():
     print(f"probes on {jax.devices()[0].platform}", flush=True)
     probe_dma_load(2048, 16, 128)
@@ -320,6 +373,11 @@ def main():
     probe_dma_store(2048, 16, 512)
     probe_xbar()
     probe_sublane_dma()
+    probe_roll_dynamic()
+    probe_row_gather(sorted_idx=False)
+    probe_row_gather(sorted_idx=True)
+    probe_row_gather(n=65_536, name=" smalltable")
+    probe_row_gather(width=4, name=" narrow")
     probe_depth_sort()
     probe_wide_sort()
     print("probes done", flush=True)

@@ -110,6 +110,12 @@ class RenderConfig:
     # a multiple of 128 (DMA lane alignment).  Smaller batches waste fewer
     # trailing lanes on short tile ranges at the cost of more DMAs.
     blend_batch_k: int = 512
+    # Saturation-truncation cap (ops/capped.py): > 0 blends only each tile's
+    # first `cap` sorted elements and gathers features for those alone,
+    # falling back in-graph to the full blend when any tile is not provably
+    # exact (range fit the cap, or all pixels saturated).  0 disables.
+    # Exactness argument + float-regrouping caveat in ops/capped.py.
+    blend_depth_cap: int = 0
 
     # ----- derived static quantities --------------------------------------
 

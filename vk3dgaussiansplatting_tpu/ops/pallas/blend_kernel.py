@@ -54,6 +54,55 @@ ALIGN_K = 128
 NUM_FEATURES = 16  # feature rows: gx, gy, a, b, c, pad, r, g, b, galpha, pad*6
 
 
+def pack_feature_table(frame: GaussianFrameData):
+    """Per-gaussian blend-feature rows [N, 10] f32.
+
+    Columns [gx, gy, a', b', c', 0, r, g, b, galpha].  The covariance rows
+    are pre-scaled (a' = -a/2, b' = -b, c' = -c/2) so the kernel evaluates
+    f = a'dx^2 + b'dxdy + c'dy^2 directly; scaling by powers of two commutes
+    exactly through float rounding, so the result is bit-identical to the
+    GLSL form -0.5(a dx^2 + c dy^2) - b dx dy (RenderGaussians.comp:117-124).
+    Column-wise scales as one broadcast multiply (-b == -0.5*b*2 exactly;
+    .at[:, 1].multiply would lower to an XLA scatter, banned in the frame
+    path)."""
+    cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
+    return jnp.concatenate(
+        [
+            frame.screen_pos,  # gx, gy
+            cov_scaled,  # a' = -a/2, b' = -b, c' = -c/2
+            jnp.zeros((frame.screen_pos.shape[0], 1), jnp.float32),
+            frame.color_alpha,  # r, g, b, galpha
+        ],
+        axis=-1,
+    )  # [N, 10]
+
+
+def features_from_rows(rows, live, batch_k: int):
+    """[E, 10] per-element rows -> [NUM_FEATURES, E_pad] feature-major array.
+
+    E is padded to a multiple of batch_k plus one slack batch so K-aligned
+    DMA slices stay in bounds.  `live` (or None) zeroes dead slots' galpha
+    via concatenate — a column .at[].multiply lowers to an XLA scatter,
+    banned in the frame path."""
+    if live is not None:
+        rows = jnp.concatenate(
+            [rows[:, :9], rows[:, 9:10] * live[:, None]], axis=1
+        )
+    feat = rows.T  # [10, E]
+    e = feat.shape[1]
+    pad = (-e) % batch_k + batch_k
+    feat = jnp.concatenate(
+        [
+            feat,
+            jnp.zeros((NUM_FEATURES - feat.shape[0], e), jnp.float32),
+        ],
+        axis=0,
+    )
+    return jnp.concatenate(
+        [feat, jnp.zeros((NUM_FEATURES, pad), jnp.float32)], axis=1
+    )
+
+
 def _build_features(
     elements: SortElements,
     frame: GaussianFrameData | None,
@@ -63,8 +112,7 @@ def _build_features(
     """Per-element blend features in sorted order, feature-major.
 
     Returns [NUM_FEATURES, E_pad] float32 with
-    rows [gx, gy, a, b, c, 0, r, g, b, galpha, 0...]; E padded to a multiple
-    of BATCH_K plus one slack batch so K-aligned DMA slices stay in bounds.
+    rows [gx, gy, a, b, c, 0, r, g, b, galpha, 0...].
 
     With `features` (pre-routed (screen_pos [E,2], color_alpha [E,4],
     cov_inv [E,3]) from the distributed exchange), no gather happens and
@@ -78,25 +126,7 @@ def _build_features(
         ).astype(jnp.int32)
         # Pack per-gaussian features once [N, 10], gather once [E, 10] — one
         # wide-row gather is far cheaper on TPU than several narrow ones.
-        # The covariance rows are pre-scaled (a' = -a/2, b' = -b, c' = -c/2)
-        # so the kernel evaluates f = a'dx^2 + b'dxdy + c'dy^2 directly;
-        # scaling by powers of two commutes exactly through float rounding,
-        # so the result is bit-identical to the GLSL form
-        # -0.5(a dx^2 + c dy^2) - b dx dy (RenderGaussians.comp:117-124).
-        # Column-wise scales as one broadcast multiply (-b == -0.5*b*2
-        # exactly; .at[:, 1].multiply would lower to an XLA scatter, banned
-        # in the frame path).
-        cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
-        table = jnp.concatenate(
-            [
-                frame.screen_pos,  # gx, gy
-                cov_scaled,  # a' = -a/2, b' = -b, c' = -c/2
-                jnp.zeros((frame.screen_pos.shape[0], 1), jnp.float32),
-                frame.color_alpha,  # r, g, b, galpha
-            ],
-            axis=-1,
-        )  # [N, 10]
-        rows = table[idx]  # [E, 10]
+        rows = pack_feature_table(frame)[idx]  # [E, 10]
     else:
         screen_pos, color_alpha, cov_inv = features
         cov_scaled = cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
@@ -109,24 +139,7 @@ def _build_features(
             ],
             axis=-1,
         )  # [E, 10]
-    # Dead slots contribute nothing: zero galpha (col 9) via concatenate —
-    # a column .at[].multiply lowers to an XLA scatter, banned in the frame
-    # path.
-    rows = jnp.concatenate([rows[:, :9], rows[:, 9:10] * live[:, None]], axis=1)
-    feat = rows.T  # [10, E]
-    e = feat.shape[1]
-    pad = (-e) % batch_k + batch_k
-    feat = jnp.concatenate(
-        [
-            feat,
-            jnp.zeros((NUM_FEATURES - feat.shape[0], e), jnp.float32),
-        ],
-        axis=0,
-    )
-    feat = jnp.concatenate(
-        [feat, jnp.zeros((NUM_FEATURES, pad), jnp.float32)], axis=1
-    )
-    return feat
+    return features_from_rows(rows, live, batch_k)
 
 
 def _exclusive_cumprod_lanes(q):
@@ -447,35 +460,30 @@ def _blend_flat_kernel(
             t_scr[:, :] = t_new
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "cap", "with_t")
-)
-def blend_tiles_pallas_flat(
-    elements: SortElements,
+def blend_flat_core(
+    feat,
     ranges,
-    frame: GaussianFrameData,
     config: RenderConfig,
+    capacity: int,
     origin_y: int | jax.Array = 0,
     *,
     cap: int = 0,
     with_t: bool = False,
 ):
-    """Flat-scheduled blend; returns float32 [H, W, 3].
-
-    cap > 0: truncate every tile's range to its first `cap` sorted elements
-    (the saturation-truncation schedule).  with_t: also return the per-tile
-    per-pixel outgoing transmittance [num_tiles, P] — `cap` is exact for a
-    tile iff its range fits the cap or max-over-pixels T < stop there.
-    """
-    capacity = elements.tile.shape[0]
+    """Flat-scheduled blend over a prebuilt [NUM_FEATURES, E_pad] feature
+    array; returns float32 [H, W, 3] (and [num_tiles, P] transmittance with
+    with_t).  `capacity` is the schedule's element capacity (feat's unpadded
+    length).  The capped-gather path calls this directly with its packed
+    feature layout and packed ranges."""
     bk = config.blend_batch_k
     assert bk % ALIGN_K == 0, "blend_batch_k must be a multiple of 128"
-    feat = _build_features(elements, frame, bk)
     if cap:
         ranges = jnp.stack(
             [
                 ranges[:, 0],
-                jnp.minimum(ranges[:, 1], ranges[:, 0] + jnp.uint32(cap)),
+                jnp.minimum(
+                    ranges[:, 1], ranges[:, 0] + ranges.dtype.type(cap)
+                ),
             ],
             axis=1,
         )
@@ -531,6 +539,33 @@ def blend_tiles_pallas_flat(
         t_out = jnp.where(has[:, None], tile_colors[:, 3, :], 1.0)
         return img, t_out
     return img
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "cap", "with_t")
+)
+def blend_tiles_pallas_flat(
+    elements: SortElements,
+    ranges,
+    frame: GaussianFrameData,
+    config: RenderConfig,
+    origin_y: int | jax.Array = 0,
+    *,
+    cap: int = 0,
+    with_t: bool = False,
+):
+    """Flat-scheduled blend; returns float32 [H, W, 3].
+
+    cap > 0: truncate every tile's range to its first `cap` sorted elements
+    (the saturation-truncation schedule).  with_t: also return the per-tile
+    per-pixel outgoing transmittance [num_tiles, P] — `cap` is exact for a
+    tile iff its range fits the cap or max-over-pixels T < stop there.
+    """
+    capacity = elements.tile.shape[0]
+    feat = _build_features(elements, frame, config.blend_batch_k)
+    return blend_flat_core(
+        feat, ranges, config, capacity, origin_y, cap=cap, with_t=with_t
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
