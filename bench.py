@@ -52,11 +52,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_frame_fn(config, capacity, use_pallas_blend):
-    from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+def make_blend_fn(config, blend_mode):
+    """blend_mode: 'tiled' | 'flat' | 'capped' | 'xla'."""
+    if blend_mode == "xla":
+        from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+
+        return lambda el, r, fr: blend_ops.blend_tiles_xla(el, r, fr, config)
+    if blend_mode == "capped":
+        from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
+
+        assert config.blend_depth_cap > 0
+        return lambda el, r, fr: capped_ops.blend_tiles_capped(el, r, fr, config)
+    from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
+
+    if blend_mode == "flat":
+        return lambda el, r, fr: blend_kernel.blend_tiles_pallas_flat(
+            el, r, fr, config
+        )
+    return lambda el, r, fr: blend_kernel.blend_tiles_pallas(el, r, fr, config)
+
+
+def build_frame_fn(config, capacity, blend_mode):
     from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
     from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
     from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
+
+    blend = make_blend_fn(config, blend_mode)
 
     def frame(table, view, proj, cam_pos):
         elements, frame_data = keygen_ops.generate_sort_elements(
@@ -64,14 +85,7 @@ def build_frame_fn(config, capacity, use_pallas_blend):
         )
         elements = sort_ops.sort_elements(elements, config)
         ranges = ranges_ops.find_ranges(elements, config.num_tiles)
-        if use_pallas_blend:
-            from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
-
-            image = blend_kernel.blend_tiles_pallas(
-                elements, ranges, frame_data, config
-            )
-        else:
-            image = blend_ops.blend_tiles_xla(elements, ranges, frame_data, config)
+        image = blend(elements, ranges, frame_data)
         return image, elements.count
 
     return frame
@@ -128,6 +142,10 @@ def main():
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--sort", default="xla", choices=["xla", "radix"])
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--blend", default="auto",
+                    choices=["auto", "tiled", "flat", "capped", "xla"])
+    ap.add_argument("--cap", type=int, default=768,
+                    help="blend_depth_cap for --blend capped")
     args = ap.parse_args()
 
     from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
@@ -137,6 +155,9 @@ def main():
 
     n_gauss, width, height, target_elems = SCENES[args.scene]
     on_tpu = jax.default_backend() == "tpu"
+    blend_mode = args.blend
+    if blend_mode == "auto":
+        blend_mode = "tiled" if (on_tpu and not args.no_pallas) else "xla"
     config = RenderConfig(
         width=width,
         height=height,
@@ -146,11 +167,11 @@ def main():
         # Perf: skip the reference's pow2 rounding of the capacity (only its
         # bitonic backend needs it; nearly halves all per-element costs).
         capacity_pow_two=False,
+        blend_depth_cap=args.cap if blend_mode == "capped" else 0,
     )
-    use_pallas = on_tpu and not args.no_pallas
 
     log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
-        f"target_elems={target_elems} pallas={use_pallas} sort={args.sort}")
+        f"target_elems={target_elems} blend={blend_mode} sort={args.sort}")
     t0 = time.time()
     host_table = procedural_cloud_table(n_gauss, seed=args.seed)
     cam = Camera(width / height)
@@ -176,7 +197,7 @@ def main():
     del host_table
     view, proj = cam.matrices()
     vj, pj, cj = jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position)
-    frame = build_frame_fn(config, capacity, use_pallas)
+    frame = build_frame_fn(config, capacity, blend_mode)
 
     # Timing protocol: the axon tunnel neither blocks on dispatch nor
     # observes completion without a fetch (~28 ms RTT), so frames are
@@ -197,7 +218,6 @@ def main():
     def make_chained():
         """Fallback: per-pass jits chained by async dispatch — identical
         dataflow, but each pass compiles as its own (cacheable) program."""
-        from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
         from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
         from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
         from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
@@ -209,18 +229,7 @@ def main():
         )
         so = jax.jit(lambda el: sort_ops.sort_elements(el, config))
         rg = jax.jit(lambda el: ranges_ops.find_ranges(el, config.num_tiles))
-        if use_pallas:
-            from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
-
-            bl = jax.jit(
-                lambda el, r, fr: blend_kernel.blend_tiles_pallas(
-                    el, r, fr, config
-                )
-            )
-        else:
-            bl = jax.jit(
-                lambda el, r, fr: blend_ops.blend_tiles_xla(el, r, fr, config)
-            )
+        bl = jax.jit(make_blend_fn(config, blend_mode))
         dig = jax.jit(
             lambda img, count: jnp.sum(img[::97, ::97, 0])
             + count.astype(jnp.float32) * jnp.float32(1e-9)

@@ -41,6 +41,7 @@ from jax import lax
 from ..core.config import SENTINEL, RenderConfig
 from .keygen import GaussianFrameData, SortElements
 from .pallas import blend_kernel
+from .pallas.compact_kernel import compact_segments
 from .pallas.expand_kernel import expand_rows
 
 SEG_ALIGN = 128  # packed per-tile segment alignment (DMA lane alignment)
@@ -49,11 +50,12 @@ SEG_ALIGN = 128  # packed per-tile segment alignment (DMA lane alignment)
 def packed_capacity(config: RenderConfig, capacity: int) -> int:
     """Static packed-layout capacity: sum over tiles of the 128-aligned
     capped segment is bounded both by num_tiles * roundup(cap, 128) and by
-    roundup(capacity, 128) + 128 * num_tiles."""
+    roundup(capacity, 128) + 128 * num_tiles.  Rounded to 512 (the segment
+    compactor's batch granularity)."""
     cap_p = -(-config.blend_depth_cap // SEG_ALIGN) * SEG_ALIGN
     bound_a = config.num_tiles * cap_p
     bound_b = -(-capacity // SEG_ALIGN) * SEG_ALIGN + SEG_ALIGN * config.num_tiles
-    return min(bound_a, bound_b)
+    return -(-min(bound_a, bound_b) // 512) * 512
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -78,16 +80,24 @@ def blend_tiles_capped(
     pstart = (pcum - pcounts).astype(jnp.int32)
 
     ep = packed_capacity(config, capacity)
-    # Packed slot -> (range start, segment start, live count) via the
+    # Packed CHUNK (128 lanes) -> (source start, live threshold) via the
     # monotone expansion over the tile table (InitSortList's allocation
-    # machinery reused at tile granularity).
-    cols, _ = expand_rows([starts, pstart, counts], pcounts, ep)
-    slot = jnp.arange(ep, dtype=jnp.int32)
-    local = slot - cols[1]
-    src = jnp.clip(cols[0] + local, 0, capacity - 1)
-    seg_live = local < cols[2]
+    # machinery reused at chunk granularity: ~ep/128 slots, trivially cheap).
+    counts128 = pcounts // SEG_ALIGN
+    pstart128 = pstart // SEG_ALIGN
+    nchunks = ep // SEG_ALIGN
+    cols, _ = expand_rows([starts, pstart128, counts], counts128, nchunks)
+    cs = jnp.arange(nchunks, dtype=jnp.int32)
+    chunk_local = (cs - cols[1]) * jnp.int32(SEG_ALIGN)
+    src0 = cols[0] + chunk_local
+    thr = cols[2] - chunk_local  # live lanes within the chunk
+    lane = jnp.arange(SEG_ALIGN, dtype=jnp.int32)
+    seg_live = (lane[None, :] < thr[:, None]).reshape(ep)
 
-    gid_raw = elements.index[src]  # row-gather #1 (u32, packed length)
+    # Piecewise-contiguous index fetch: one 256-lane DMA + dynamic lane
+    # rotate per chunk (bandwidth-bound) instead of an XLA row-gather
+    # (~6 ns/row regardless of contiguity).
+    gid_raw = compact_segments(elements.index, src0, ep)
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 

@@ -61,7 +61,11 @@ def render_frame(
     )
     elements = sort_ops.sort_elements(elements, config)
     ranges = ranges_ops.find_ranges(elements, config.num_tiles)
-    if use_pallas_blend:
+    if use_pallas_blend and config.blend_depth_cap > 0:
+        from .ops import capped as capped_ops
+
+        image = capped_ops.blend_tiles_capped(elements, ranges, frame, config)
+    elif use_pallas_blend:
         from .ops.pallas import blend_kernel
 
         image = blend_kernel.blend_tiles_pallas(elements, ranges, frame, config)
