@@ -5,27 +5,34 @@ The reference's performance sorter is a FidelityFX-style 4-bit LSD radix sort
 Count -> Reduce -> Scan -> ScanAdd -> Scatter over
 `roundUp4(32 + bits(numTiles-1))` key bits.
 
-A Mosaic port is currently blocked on measured platform facts (2026-08-17,
-v5e via axon; scripts/probe_mosaic_gather.py, scripts/sort_probe*.py):
+A Mosaic port is blocked on measured platform costs (round-2 probes,
+2026-08-21, v5e via axon; scripts/r2_dma_probe.py, r2_sortpay_probe.py,
+probe_dyngather.py — numbers in docs/PERFORMANCE.md):
 
-  * Pallas TPU has NO in-kernel dynamic gather/scatter/sort lowering — the
-    radix scatter's in-block stable permutation (RadixSortScatter.comp:91-135
-    uses shared-memory sub-sorts) has no efficient Mosaic primitive;
-  * one-hot-matmul permutation costs O(chunk) MACs per element: with chunks
-    large enough for efficient bucket-run DMAs (>=2 KB) it exceeds the XLA
-    sort's total cost per pass;
-  * XLA-level scatter compiles pathologically (>15 min) and runs ~10 ms/M;
-    XLA-level gather runs ~6.5 ns/row — a 12-pass radix built from XLA
-    primitives is strictly slower than XLA's own sort;
-  * `jax.lax.sort` (stable, multi-operand) measured 25.4 ms at 13M elements —
-    within 1.3x of the reference's hand-tuned radix on its own GPU.
+  * the only in-kernel permutation primitive that compiles server-side is
+    the [8,128] lane crossbar (`tpu.dynamic_gather` via take_along_axis) at
+    84.9 ns/op — an in-block 512-element stable pre-sort by digit (the
+    scatter's shared-memory analogue, RadixSortScatter.comp:91-135) costs
+    ~0.9 us/block in crossbars alone, ~2 ns/element/pass before any DMA;
+  * run-granularity dynamic-offset stores measure ~600 ns per 8 KB DMA —
+    16 digit-runs per 512-block at garden scale is ~440K stores/pass,
+    tens of ms of pure DMA issue; exact packing also needs dynamic-LENGTH
+    DMAs, which Pallas does not have (padding + re-compaction doubles the
+    movement);
+  * XLA-level radix passes die on the apply step: scatter compiles
+    pathologically (>15 min) and the gather-based inverse-permutation apply
+    costs ~6 ns/row — one pass alone exceeds `lax.sort`'s whole budget;
+  * `jax.lax.sort` measures 55.5 ms for the garden element sort
+    ((u16 tile, u32 depth) keys + u32 idx at 14.19M) — ~3x the reference's
+    hand-tuned radix on its own GPU, and still cheaper than every Pallas
+    formulation analyzed above.
 
-Until Mosaic grows a dynamic-gather/scatter primitive (or a DMA-descriptor
-batch API), the RADIX algorithm selection therefore executes the XLA sort
-restricted to the *used* key bits semantics (identical output order —
-sorting the full (tile, depth) pair lexicographically equals sorting the
-64-bit key's used bits, since the unused high bits are zero;
-RadixSort.cpp:201-204 exploits the same fact in reverse).
+Until Mosaic grows wider dynamic-gather shapes or batched DMA descriptors,
+the RADIX algorithm selection therefore executes the XLA sort restricted to
+the *used* key bits semantics (identical output order — sorting the full
+(tile, depth) pair lexicographically equals sorting the 64-bit key's used
+bits, since the unused high bits are zero; RadixSort.cpp:201-204 exploits
+the same fact in reverse).
 """
 
 from __future__ import annotations
