@@ -76,13 +76,22 @@ def main():
                     help="saturation-truncation diagnostic: per-cap valid-tile "
                          "fraction + element reduction (drives the capped-"
                          "gather design)")
+    ap.add_argument("--bk", type=int, default=None,
+                    help="blend_batch_k override (A/B the blend batch width)")
+    ap.add_argument("--cap", type=int, default=0,
+                    help="also time the capped blend path at this cap")
     args = ap.parse_args()
 
     import math
 
     n_gauss, width, height, target = SCENES[args.scene]
+    kw = {}
+    if args.bk is not None:
+        kw["blend_batch_k"] = args.bk
+    if args.cap:
+        kw["blend_depth_cap"] = args.cap
     config = RenderConfig(width=width, height=height, sort_algorithm=SortAlgorithm.XLA_SORT,
-                          capacity_pow_two=False)
+                          capacity_pow_two=False, **kw)
     capacity = config.sort_capacity(n_gauss)
     print(f"{args.scene}: n={n_gauss} capacity={capacity} tiles={config.num_tiles}", flush=True)
 
@@ -193,6 +202,21 @@ def main():
                 f"({100*kept/max(tot,1):.1f}%)  [{time.time()-t0:.0f}s]",
                 flush=True,
             )
+
+    if args.cap:
+        from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
+
+        def capped_digest(s):
+            fr2 = keygen_ops.GaussianFrameData(
+                color_alpha=frame.color_alpha + s,
+                cov2d=frame.cov2d,
+                cov_inv=frame.cov_inv,
+                screen_pos=frame.screen_pos,
+            )
+            img = capped_ops.blend_tiles_capped(sorted_elems, ranges, fr2, config)
+            return jnp.sum(img[::97, ::97, 0])
+
+        bench(f"capped blend+gather (cap={args.cap})", capped_digest, iters=4)
 
     if not args.skip_blend:
         def blend_digest(s):
