@@ -146,8 +146,23 @@ def main():
           f"u8 max diff={udiff} ({time.time()-t0:.0f}s)", flush=True)
     assert udiff <= 1, f"u8 diff {udiff} exceeds the +-1 contract"
     assert lit > 1000
-    print(f"SCALE PARITY OK: {live/1e6:.2f}M elements, u8 diff {udiff}",
-          flush=True)
+
+    # --- 4. capped path vs flat, +-1 u8 (ops/capped.py) -------------------
+    t0 = time.time()
+    from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
+
+    cfg_cap = dataclasses.replace(config, blend_depth_cap=512)
+    img_cap = np.asarray(
+        capped_ops.blend_tiles_capped(el_s, ranges, frame, cfg_cap)
+    )
+    u8_cap = np.asarray(blend_ops.quantize_image(jnp.asarray(img_cap)))
+    cdiff = int(np.abs(u8_cap.astype(np.int32) - u8_pl.astype(np.int32)).max())
+    print(f"  [4] capped(cap=512) vs flat: u8 max diff={cdiff} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    assert cdiff <= 1, f"capped path u8 diff {cdiff} exceeds +-1"
+
+    print(f"SCALE PARITY OK: {live/1e6:.2f}M elements, u8 diff {udiff}, "
+          f"capped diff {cdiff}", flush=True)
 
 
 if __name__ == "__main__":
