@@ -146,6 +146,11 @@ def main():
                     choices=["auto", "tiled", "flat", "capped", "xla"])
     ap.add_argument("--cap", type=int, default=768,
                     help="blend_depth_cap for --blend capped")
+    ap.add_argument("--slack", type=int, default=None,
+                    help="capacity_slack_per_tile override (reference: 1024; "
+                         "a tighter value shrinks every per-slot pass — "
+                         "results stay exact as long as nothing overflows, "
+                         "which the live-element log confirms)")
     args = ap.parse_args()
 
     from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
@@ -168,6 +173,11 @@ def main():
         # bitonic backend needs it; nearly halves all per-element costs).
         capacity_pow_two=False,
         blend_depth_cap=args.cap if blend_mode == "capped" else 0,
+        **(
+            {"capacity_slack_per_tile": args.slack}
+            if args.slack is not None
+            else {}
+        ),
     )
 
     log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "

@@ -123,16 +123,26 @@ def probe_gather(n, width, e=4_194_304):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only-gather", action="store_true",
+                    help="run just the G1 gather cost-structure probes")
+    args = ap.parse_args()
+
     print(f"probes on {jax.devices()[0].platform}", flush=True)
-    for k in (1, 4, 9):
-        probe_sort_payload(5_834_784, k)
-    probe_element_sort(14_190_624, 0)
-    probe_element_sort(14_190_624, 9)
     for n in (262_144, 1_048_576, 2_097_152):
         probe_gather(n, 10)
     for w in (8, 10, 12):
         probe_gather(4_000_000, w)
     probe_gather(4_000_000, 1)
+    if not args.only_gather:
+        for k in (1, 4, 9):
+            probe_sort_payload(5_834_784, k)
+        probe_element_sort(14_190_624, 0)
+        # NOTE: the 9-feature element sort at 14.2M hung the remote compile
+        # helper for >15 min on 2026-08-21; payload linearity is already
+        # established by the 5.8M series, so it is intentionally omitted.
     print("probes done", flush=True)
 
 
