@@ -33,20 +33,30 @@ from .keygen import SortElements
 def sort_elements_xla(
     elements: SortElements, num_tiles: int | None = None
 ) -> SortElements:
-    """Stable lexicographic sort by (tile, depth) via XLA's sort HLO.
+    """Lexicographic sort by (tile, depth) via XLA's sort HLO, order-stable.
 
-    When the tile-id range provably fits in 16 bits (every benchmark
-    resolution: 8160 tiles at 1080p), the tile key is sorted as uint16 —
-    XLA's TPU sort cost is ~bytes-proportional, so this trims 12 -> 10
-    bytes/element.  Order is unchanged: live tiles are < 0xFFFF and the
-    0xFFFFFFFF sentinel maps to 0xFFFF, still the maximum.
+    Two cost tricks, both order-preserving (probed on v5e, 2026-08-21,
+    scripts/r2_sortvariants_probe.py — numbers in docs/PERFORMANCE.md):
+
+    * When the tile-id range provably fits in 16 bits (every benchmark
+      resolution: 8160 tiles at 1080p), the tile key is sorted as uint16 —
+      XLA's TPU sort cost is ~bytes-proportional (u16 keys: 55.5 ms vs u32
+      59.5 ms at 14.19M).  Live tiles are < 0xFFFF and the 0xFFFFFFFF
+      sentinel maps to 0xFFFF, still the maximum.
+    * The index column is promoted from payload to a THIRD sort key with
+      `is_stable=False` (44.3 ms vs 55.5 ms stable at 14.19M).  The result
+      is deterministically identical to the stable 2-key sort: within an
+      equal (tile, depth) pair the gaussian ids are distinct (a gaussian
+      emits at most one element per tile) and ascend with keygen slot
+      order, so ordering ties by the id column reproduces stability; the
+      all-equal sentinel ties are order-irrelevant.
     """
     if num_tiles is not None and num_tiles < 0xFFFF:
         tile16, depth, index = jax.lax.sort(
             (elements.tile.astype(jnp.uint16), elements.depth, elements.index),
             dimension=0,
-            num_keys=2,
-            is_stable=True,
+            num_keys=3,
+            is_stable=False,
         )
         from ..core.config import SENTINEL
 
@@ -59,8 +69,8 @@ def sort_elements_xla(
         tile, depth, index = jax.lax.sort(
             (elements.tile, elements.depth, elements.index),
             dimension=0,
-            num_keys=2,
-            is_stable=True,
+            num_keys=3,
+            is_stable=False,
         )
     return SortElements(tile=tile, depth=depth, index=index, count=elements.count)
 
