@@ -44,6 +44,24 @@ def test_bitonic_rejects_non_pow2(rng):
         sort_elements_bitonic(el)
 
 
+def test_xla_sort_u16_tile_path_ties_resolve_by_index(rng):
+    # same tie contract through the u16-tile fast path (num_tiles < 0xFFFF),
+    # which also uses the unstable 3-key formulation.
+    e = 512
+    tile = np.repeat(np.arange(8, dtype=np.uint32), 64)
+    depth = np.tile(np.repeat(np.arange(8, dtype=np.uint32), 8), 8)
+    idx = np.arange(e, dtype=np.uint32)
+    el = SortElements(
+        jnp.asarray(tile), jnp.asarray(depth), jnp.asarray(idx), jnp.uint32(e)
+    )
+    out = jax.jit(lambda x: sort_elements_xla(x, num_tiles=64))(el)
+    i = np.asarray(out.index)
+    t = np.asarray(out.tile)
+    d = np.asarray(out.depth)
+    key = (t.astype(np.uint64) << 40) | (d.astype(np.uint64) << 20) | i.astype(np.uint64)
+    assert (np.diff(key.astype(np.int64)) > 0).all()
+
+
 def test_xla_sort_ties_resolve_by_index(rng):
     # duplicate (tile, depth) pairs across distinct gaussians: stable sort
     # must keep allocation (index) order — the reference's deterministic
