@@ -68,43 +68,33 @@ GROUP_ROWS = 8  # sublane rows of the precomputed group layout
 _HUGE = 2**31 - 1
 
 
-def _gather_groups(vals_buf, local, found, acc_ref):
-    """Expand one chunk into acc_ref: acc[:, j] += vals_buf[:, local[j]]
-    where found[j].
+def _gather_groups(vals_buf, local, found):
+    """Expand one chunk: out[:, j] = vals_buf[:, local[j]] where found[j].
 
     vals_buf: [NUM_ROWS, WINDOW] i32 chunk of source rows (lanes = rows).
     local:    [1, WINDOW] i32 covering-row index within the chunk.
     found:    [1, WINDOW] bool — lanes whose covering row is in this chunk.
-    acc_ref:  [NUM_ROWS, WINDOW] VMEM accumulator (unfound lanes untouched).
-
-    The 128-lane crossbar costs ~85 ns per [8,128] op (measured on v5e),
-    which dominates the kernel; the expansion is monotone, so each 128-lane
-    destination group usually draws from 1-2 of the 4 source groups.  Each
-    (dest, src) pair is therefore guarded by a scalar band check — skipped
-    pairs cost nothing.
+    Returns [NUM_ROWS, WINDOW] i32 with unfound lanes zero.
     """
-    huge = jnp.int32(_HUGE)
+    out_groups = []
     for g in range(WINDOW // GROUP):
         sl = slice(g * GROUP, (g + 1) * GROUP)
         idx_g = local[:, sl]  # [1, GROUP]
-        fnd_g1 = found[:, sl]
-        lo = jnp.min(jnp.where(fnd_g1, idx_g, huge))
-        hi = jnp.max(jnp.where(fnd_g1, idx_g, jnp.int32(-1)))
-        fnd_g = jnp.broadcast_to(fnd_g1, (NUM_ROWS, GROUP))
+        fnd_g = jnp.broadcast_to(found[:, sl], (NUM_ROWS, GROUP))
+        acc_g = jnp.zeros((NUM_ROWS, GROUP), jnp.int32)
         for h in range(WINDOW // GROUP):
-
-            @pl.when((lo < jnp.int32((h + 1) * GROUP)) & (hi >= jnp.int32(h * GROUP)))
-            def _(g=g, h=h, sl=sl, idx_g=idx_g, fnd_g=fnd_g):
-                lidx = idx_g - jnp.int32(h * GROUP)
-                valid = fnd_g & jnp.broadcast_to(
-                    (lidx >= 0) & (lidx < GROUP), (NUM_ROWS, GROUP)
-                )
-                lidx_c = jnp.broadcast_to(
-                    jnp.clip(lidx, 0, GROUP - 1), (NUM_ROWS, GROUP)
-                )
-                src = vals_buf[:, h * GROUP : (h + 1) * GROUP]
-                gth = jnp.take_along_axis(src, lidx_c, axis=1)
-                acc_ref[:, sl] = acc_ref[:, sl] + jnp.where(valid, gth, 0)
+            lidx = idx_g - jnp.int32(h * GROUP)
+            valid = fnd_g & jnp.broadcast_to(
+                (lidx >= 0) & (lidx < GROUP), (NUM_ROWS, GROUP)
+            )
+            lidx_c = jnp.broadcast_to(
+                jnp.clip(lidx, 0, GROUP - 1), (NUM_ROWS, GROUP)
+            )
+            src = vals_buf[:, h * GROUP : (h + 1) * GROUP]
+            gth = jnp.take_along_axis(src, lidx_c, axis=1)
+            acc_g = jnp.where(valid, gth, acc_g)
+        out_groups.append(acc_g)
+    return jnp.concatenate(out_groups, axis=1)
 
 
 def _count_two_level(vbuf, gbuf, j_eff):
@@ -219,33 +209,33 @@ def _expand_kernel(
         j = b * jnp.int32(WINDOW) + lane
         j_eff = jnp.maximum(jnp.minimum(j, total - 1), 0)  # [1, W]
 
-        # out_ref doubles as the gather accumulator (crossbar results are
-        # accumulated under pl.when guards, which cannot yield values).
-        out_ref[:, :] = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
-
-        def process_chunk(vbuf, gbuf, searching):
+        def process_chunk(vbuf, gbuf, searching, acc):
             # `searching` is an i32 0/1 mask: Mosaic cannot carry i1
             # vectors through `lax.while_loop` (scf.yield legalization
             # fails on vpad'd i1).
             cnt = _count_two_level(vbuf, gbuf, j_eff)
             found_here = (searching > 0) & (cnt < WINDOW)
-            _gather_groups(vbuf, cnt, found_here, out_ref)
-            return jnp.where(cnt >= WINDOW, searching, 0)
+            gathered = _gather_groups(vbuf, cnt, found_here)
+            acc = acc + gathered  # unfound lanes contribute 0
+            searching = jnp.where(cnt >= WINDOW, searching, 0)
+            return searching, acc
 
-        searching1 = process_chunk(
-            vals_buf[slot], cumg_buf[slot], jnp.ones((1, WINDOW), jnp.int32)
+        searching0 = jnp.ones((1, WINDOW), jnp.int32)
+        acc0 = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
+        searching1, acc1 = process_chunk(
+            vals_buf[slot], cumg_buf[slot], searching0, acc0
         )
 
         # Rare slow path: the window's span exceeds one chunk (long culled
         # runs or >512 single-tile gaussians per window).  Refill the same
         # buffer slot — the next window's prefetch lives in the other slot.
         def cond(carry):
-            c, searching = carry
+            c, searching, _ = carry
             row0 = sw_ref[b] + c * jnp.int32(WINDOW)
             return (jnp.max(searching) > 0) & (row0 <= max_start)
 
         def body(carry):
-            c, searching = carry
+            c, searching, acc = carry
             row0 = sw_ref[b] + c * jnp.int32(WINDOW)
             d = dma(slot, row0)
             dg = dma_g(slot, row0)
@@ -253,12 +243,15 @@ def _expand_kernel(
             dg.start()
             d.wait()
             dg.wait()
-            searching = process_chunk(
-                vals_buf[slot], cumg_buf[slot], searching
+            searching, acc = process_chunk(
+                vals_buf[slot], cumg_buf[slot], searching, acc
             )
-            return c + 1, searching
+            return c + 1, searching, acc
 
-        lax.while_loop(cond, body, (jnp.int32(1), searching1))
+        _, _, acc = lax.while_loop(
+            cond, body, (jnp.int32(1), searching1, acc1)
+        )
+        out_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
