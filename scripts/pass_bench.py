@@ -140,12 +140,12 @@ def main():
                 index=elements.index,
                 count=elements.count,
             )
-            se = sort_ops.sort_elements_xla(el)
+            se = sort_ops.sort_elements_xla(el, num_tiles=config.num_tiles)
             return jnp.sum(se.index[:8].astype(jnp.float32))
 
         bench("sort(xla)", sort_digest, iters=3)
 
-    sorted_elems = jax.jit(lambda: sort_ops.sort_elements_xla(elements))()
+    sorted_elems = jax.jit(lambda: sort_ops.sort_elements_xla(elements, num_tiles=config.num_tiles))()
     jax.block_until_ready(sorted_elems)
 
     def ranges_digest(s):
