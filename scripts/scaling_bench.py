@@ -68,7 +68,7 @@ def main():
         config = RenderConfig(
             width=args.width,
             height=args.height,
-            capacity_slack_per_tile=64,
+            capacity_slack_per_tile=256,
             sort_algorithm=SortAlgorithm.XLA_SORT,
         )
         if config.grid_height % ndev:
@@ -94,19 +94,33 @@ def main():
 
         rate = live_total / dt
         if base_rate is None:
-            base_rate, base_ndev = rate, ndev
-        eff = rate / (base_rate * ndev / base_ndev)
+            base_rate, base_ndev, base_dt, base_live = rate, ndev, dt, live_total
+        # On a virtual (host-platform) mesh all "devices" time-slice one CPU,
+        # so rate_N/(N*rate_1) trends to 1/N for a perfect implementation.
+        # Report the honest quantity per backend: real meshes get scaling
+        # efficiency; virtual meshes get WORK CONSERVATION t_1/t_N (1.0 =
+        # the distributed graph adds no redundant work).
+        virtual = jax.devices()[0].platform == "cpu"
+        if virtual:
+            eff_label = f"work-conservation {base_dt/dt*100:.0f}%"
+        else:
+            eff = rate / (base_rate * ndev / base_ndev)
+            eff_label = f"efficiency {eff*100:.0f}%"
+        dropped = base_live - live_total if live_total < base_live else 0
 
         # Static per-device collective bytes per frame.
         ag_bytes = (ndev - 1) / ndev * padded.num_gaussians * 48
         a2a_bytes = 3 * 4 * ndev * plan.slab_capacity
         print(
             f"ndev={ndev}: {dt*1e3:.1f} ms/frame, live={live_total/1e6:.2f}M "
-            f"({np.asarray(live).tolist()} per dev), "
-            f"{rate/1e6:.1f} M live-elem/s, efficiency {eff*100:.0f}%, "
+            f"({np.asarray(live).tolist()} per dev), dropped={dropped}, "
+            f"{rate/1e6:.2f} M live-elem/s, {eff_label}, "
             f"collectives/dev: all_gather {ag_bytes/1e6:.1f} MB + "
             f"all_to_all {a2a_bytes/1e6:.1f} MB",
             flush=True,
+        )
+        assert dropped == 0, (
+            f"ndev={ndev} dropped {dropped} elements — grow slab/capacity"
         )
 
 
