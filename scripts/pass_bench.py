@@ -23,21 +23,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 sys.path.insert(0, ".")
 
 
-def bench(name, make_digest, iters=8):
+def bench(name, make_digest, *xargs, iters=8):
     """Chained-dispatch timing: dispatch `iters+1` runs back-to-back (async,
     serialized on the core) and fetch one scalar; subtract the 1-run time.
 
     (An in-jit `lax.fori_loop` over the pass was the original protocol, but
     fori-wrapped big programs hang the remote compile helper at garden scale
     — observed twice on 2026-08-20; per-run dispatch compiles the plain pass
-    program and measures the same thing.)
+    program and measures the same thing.  Big operands are passed as
+    EXPLICIT jit arguments, never closures: closure-captured device arrays
+    are embedded as HLO constants and hang the remote compile helper —
+    observed on the 14M sort, 2026-08-21.)
     """
     f = jax.jit(make_digest)
 
     def run(n):
         d = None
         for i in range(n):
-            d = f(jnp.float32(i) * jnp.float32(1e-6))
+            d = f(jnp.float32(i) * jnp.float32(1e-6), *xargs)
         return float(d)
 
     t0 = time.perf_counter()
@@ -119,61 +122,65 @@ def main():
     view, proj = cam.matrices()
     vj, pj, cj = jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position)
 
-    def keygen_digest(s):
+    def keygen_digest(s, table):
         el, fr = keygen_ops.generate_sort_elements(
             table, vj.at[2, 3].add(s), pj, cj, config, capacity
         )
         return jnp.sum(el.depth[:8].astype(jnp.float32)) + el.count.astype(jnp.float32)
 
-    bench("keygen", keygen_digest)
+    bench("keygen", keygen_digest, table)
 
     elements, frame = jax.jit(
-        lambda: keygen_ops.generate_sort_elements(table, vj, pj, cj, config, capacity)
-    )()
+        lambda t: keygen_ops.generate_sort_elements(t, vj, pj, cj, config, capacity)
+    )(table)
     jax.block_until_ready(elements)
 
     if not args.skip_sort:
-        def sort_digest(s):
+        def sort_digest(s, el0):
             el = keygen_ops.SortElements(
-                tile=elements.tile,
-                depth=elements.depth + s.astype(jnp.uint32),
-                index=elements.index,
-                count=elements.count,
+                tile=el0.tile,
+                depth=el0.depth + s.astype(jnp.uint32),
+                index=el0.index,
+                count=el0.count,
             )
             se = sort_ops.sort_elements_xla(el, num_tiles=config.num_tiles)
             return jnp.sum(se.index[:8].astype(jnp.float32))
 
-        bench("sort(xla)", sort_digest, iters=3)
+        bench("sort(xla)", sort_digest, elements, iters=3)
 
-    sorted_elems = jax.jit(lambda: sort_ops.sort_elements_xla(elements, num_tiles=config.num_tiles))()
+    sorted_elems = jax.jit(
+        lambda el: sort_ops.sort_elements_xla(el, num_tiles=config.num_tiles)
+    )(elements)
     jax.block_until_ready(sorted_elems)
 
-    def ranges_digest(s):
+    def ranges_digest(s, se):
         el = keygen_ops.SortElements(
-            tile=sorted_elems.tile,
-            depth=sorted_elems.depth,
-            index=sorted_elems.index + s.astype(jnp.uint32),
-            count=sorted_elems.count,
+            tile=se.tile,
+            depth=se.depth,
+            index=se.index + s.astype(jnp.uint32),
+            count=se.count,
         )
         rg = ranges_ops.find_ranges(el, config.num_tiles)
         return jnp.sum(rg[:8, :].astype(jnp.float32))
 
-    bench("find_ranges", ranges_digest)
+    bench("find_ranges", ranges_digest, sorted_elems)
 
-    ranges = jax.jit(lambda: ranges_ops.find_ranges(sorted_elems, config.num_tiles))()
+    ranges = jax.jit(
+        lambda se: ranges_ops.find_ranges(se, config.num_tiles)
+    )(sorted_elems)
     jax.block_until_ready(ranges)
 
-    def gather_digest(s):
+    def gather_digest(s, se, fr):
         fr2 = keygen_ops.GaussianFrameData(
-            color_alpha=frame.color_alpha + s,
-            cov2d=frame.cov2d,
-            cov_inv=frame.cov_inv,
-            screen_pos=frame.screen_pos,
+            color_alpha=fr.color_alpha + s,
+            cov2d=fr.cov2d,
+            cov_inv=fr.cov_inv,
+            screen_pos=fr.screen_pos,
         )
-        feat = blend_kernel._build_features(sorted_elems, fr2)
+        feat = blend_kernel._build_features(se, fr2)
         return jnp.sum(feat[:, :8])
 
-    bench("feature gather+pack", gather_digest)
+    bench("feature gather+pack", gather_digest, sorted_elems, frame)
 
     if args.sat_diag:
         # For each cap C: a tile is EXACT under truncation at C iff its
@@ -183,17 +190,18 @@ def main():
         r = (ranges[:, 1] - ranges[:, 0]).astype(jnp.int32)
         for cap_v in (256, 512, 1024, 2048):
             @jax.jit
-            def diag(cap=cap_v):
+            def diag(se, rg, fr, cap=cap_v):
+                rr = (rg[:, 1] - rg[:, 0]).astype(jnp.int32)
                 _, t_out = blend_kernel.blend_tiles_pallas_flat(
-                    sorted_elems, ranges, frame, config, cap=cap, with_t=True
+                    se, rg, fr, config, cap=cap, with_t=True
                 )
                 tmax = jnp.max(t_out, axis=1)
-                valid = (r <= cap) | (tmax < jnp.float32(config.transmittance_stop))
-                kept = jnp.sum(jnp.minimum(r, cap))
+                valid = (rr <= cap) | (tmax < jnp.float32(config.transmittance_stop))
+                kept = jnp.sum(jnp.minimum(rr, cap))
                 return jnp.mean(valid.astype(jnp.float32)), kept
 
             t0 = time.time()
-            vfrac, kept = jax.jit(diag)()
+            vfrac, kept = diag(sorted_elems, ranges, frame)
             vfrac, kept = float(vfrac), int(kept)
             tot = int(jnp.sum(r))
             print(
@@ -206,30 +214,32 @@ def main():
     if args.cap:
         from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
-        def capped_digest(s):
+        def capped_digest(s, se, rg, fr):
             fr2 = keygen_ops.GaussianFrameData(
-                color_alpha=frame.color_alpha + s,
-                cov2d=frame.cov2d,
-                cov_inv=frame.cov_inv,
-                screen_pos=frame.screen_pos,
+                color_alpha=fr.color_alpha + s,
+                cov2d=fr.cov2d,
+                cov_inv=fr.cov_inv,
+                screen_pos=fr.screen_pos,
             )
-            img = capped_ops.blend_tiles_capped(sorted_elems, ranges, fr2, config)
+            img = capped_ops.blend_tiles_capped(se, rg, fr2, config)
             return jnp.sum(img[::97, ::97, 0])
 
-        bench(f"capped blend+gather (cap={args.cap})", capped_digest, iters=4)
+        bench(f"capped blend+gather (cap={args.cap})", capped_digest,
+              sorted_elems, ranges, frame, iters=4)
 
     if not args.skip_blend:
-        def blend_digest(s):
+        def blend_digest(s, se, rg, fr):
             fr2 = keygen_ops.GaussianFrameData(
-                color_alpha=frame.color_alpha + s,
-                cov2d=frame.cov2d,
-                cov_inv=frame.cov_inv,
-                screen_pos=frame.screen_pos,
+                color_alpha=fr.color_alpha + s,
+                cov2d=fr.cov2d,
+                cov_inv=fr.cov_inv,
+                screen_pos=fr.screen_pos,
             )
-            img = blend_kernel.blend_tiles_pallas_flat(sorted_elems, ranges, fr2, config)
+            img = blend_kernel.blend_tiles_pallas_flat(se, rg, fr2, config)
             return jnp.sum(img[::97, ::97, 0])
 
-        bench("blend(pallas) incl gather", blend_digest, iters=4)
+        bench("blend(pallas) incl gather", blend_digest,
+              sorted_elems, ranges, frame, iters=4)
 
 
 if __name__ == "__main__":
