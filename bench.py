@@ -232,9 +232,11 @@ def main():
         from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
         from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
 
+        # Big operands ride as explicit jit ARGS — closure-captured device
+        # arrays hung the remote compile helper on the 14M sort (2026-08-21).
         kg = jax.jit(
-            lambda eps: keygen_ops.generate_sort_elements(
-                table, vj.at[2, 3].add(eps), pj, cj, config, capacity
+            lambda eps, t: keygen_ops.generate_sort_elements(
+                t, vj.at[2, 3].add(eps), pj, cj, config, capacity
             )
         )
         so = jax.jit(lambda el: sort_ops.sort_elements(el, config))
@@ -251,7 +253,7 @@ def main():
             # First call: log after each pass's (slow, remote) compile so
             # the tpu_run stall detector sees liveness between compiles.
             t0 = time.time()
-            el, fr = kg(eps)
+            el, fr = kg(eps, table)
             if first[0]:
                 log(f"  [compile] keygen done t+{time.time()-t0:.0f}s")
             el = so(el)
