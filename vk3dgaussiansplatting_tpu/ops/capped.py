@@ -101,7 +101,10 @@ def blend_tiles_capped(
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 
-    rows = blend_kernel.pack_feature_table(frame)[gid]  # row-gather #2
+    rows = jnp.take(
+        blend_kernel.pack_feature_table(frame), gid, axis=0, mode="clip"
+    )  # row-gather #2 (clip: gid already in-bounds; fill mode adds a
+    # per-row OOB select)
     feat = blend_kernel.features_from_rows(
         rows, live.astype(jnp.float32), bk
     )

@@ -126,7 +126,10 @@ def _build_features(
         ).astype(jnp.int32)
         # Pack per-gaussian features once [N, 10], gather once [E, 10] — one
         # wide-row gather is far cheaper on TPU than several narrow ones.
-        rows = pack_feature_table(frame)[idx]  # [E, 10]
+        # mode="clip" (idx is clamped in-bounds already): plain indexing
+        # lowers with fill semantics whose per-row OOB select is measurable
+        # at 14M rows.
+        rows = jnp.take(pack_feature_table(frame), idx, axis=0, mode="clip")
     else:
         screen_pos, color_alpha, cov_inv = features
         cov_scaled = cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
