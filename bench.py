@@ -162,7 +162,12 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     blend_mode = args.blend
     if blend_mode == "auto":
-        blend_mode = "tiled" if (on_tpu and not args.no_pallas) else "xla"
+        # Flat schedule wins at benchmark scale (batch-granular saturation
+        # skip + no per-tile program overhead; garden A/B 2026-08-21).  The
+        # capped path is opt-in (--blend capped): exact via its in-graph
+        # fallback, but the procedural stand-in leaves a handful of
+        # never-saturating tiles that trip the fallback each frame.
+        blend_mode = "flat" if (on_tpu and not args.no_pallas) else "xla"
     config = RenderConfig(
         width=width,
         height=height,
