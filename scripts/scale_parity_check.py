@@ -48,7 +48,7 @@ def main():
     from vk3dgaussiansplatting_tpu.render.camera import Camera
     from vk3dgaussiansplatting_tpu.scenes.synthetic import procedural_cloud_table
 
-    n = 300_000
+    n = 550_000  # ~1.1M live elements at this camera (assert below)
     config = RenderConfig(
         width=512,
         height=512,
