@@ -73,6 +73,18 @@ def test_sort_table(seed: int = 1) -> GaussianTable:
     return GaussianTable(position, scale, rot, sh, opacity)
 
 
+# Opacity distributions for the procedural benchmark cloud, selectable so
+# cross-round benchmark numbers stay comparable (advisor finding, round 2):
+#   capture     — sigmoid(N(2.5, 1.5)), bimodal with most mass near 1 like
+#                 trained 3DGS captures (median ~0.92); the round-2+ default.
+#   translucent — sigmoid(N(1.0, 2.0)), the round-1 uniform translucent
+#                 cloud that never saturates; kept for A/B comparisons.
+OPACITY_MODES = {
+    "capture": (2.5, 1.5),
+    "translucent": (1.0, 2.0),
+}
+
+
 def procedural_cloud_table(
     num_gaussians: int,
     *,
@@ -80,8 +92,7 @@ def procedural_cloud_table(
     extent: float = 6.0,
     scale_log_mean: float = -5.0,
     scale_log_std: float = 0.8,
-    opacity_logit_mean: float = 2.5,
-    opacity_logit_std: float = 1.5,
+    opacity_mode: str = "capture",
     sh_rest_std: float = 0.05,
     cluster_fraction: float = 0.5,
 ) -> GaussianTable:
@@ -93,17 +104,18 @@ def procedural_cloud_table(
     tuned by the bench harness so the camera sees element counts matching the
     reference rows (e.g. Garden-30k @1080p -> ~13.1M elements).
 
-    The opacity distribution is capture-like: trained 3DGS scenes have
-    strongly bimodal opacities with most mass near 1 (surfaces), which is
-    what makes the reference's per-pixel early-out effective (its Garden
+    The default opacity distribution is capture-like: trained 3DGS scenes
+    have strongly bimodal opacities with most mass near 1 (surfaces), which
+    is what makes the reference's per-pixel early-out effective (its Garden
     render pass costs 5.4 ms for 13M elements, README.md:59-67 — impossible
-    without deep saturation).  A translucent uniform cloud
-    (logit mean 1.0/std 2.0, the round-1 setting) never saturates and
-    over-penalizes any early-termination strategy relative to the reference
-    benchmark; sigmoid(N(2.5, 1.5)) restores a realistic opaque mode
-    (median ~0.92) while leaving culling, extents and therefore the
-    calibrated element count untouched.
+    without deep saturation).  The round-1 `translucent` mode never
+    saturates and over-penalizes any early-termination strategy relative to
+    the reference benchmark; it stays selectable (`opacity_mode`) so A/B
+    bench lines across rounds remain apples-to-apples.  Opacity does not
+    affect culling or extents, so the calibrated element count is identical
+    across modes.
     """
+    opacity_logit_mean, opacity_logit_std = OPACITY_MODES[opacity_mode]
     rng = np.random.default_rng(seed)
     n = num_gaussians
     n_cluster = int(n * cluster_fraction)
