@@ -53,7 +53,12 @@ def log(*a):
 
 
 def make_blend_fn(config, blend_mode):
-    """blend_mode: 'tiled' | 'flat' | 'capped' | 'xla'."""
+    """blend_mode: 'tiled' | 'flat' | 'capped' | 'xla'.
+
+    'capped' is the temporal per-tile-caps policy: the returned callable
+    takes (elements, ranges, frame, caps) and returns (img, caps_next, ok);
+    all other modes take (elements, ranges, frame) and return img.
+    """
     if blend_mode == "xla":
         from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
 
@@ -62,7 +67,9 @@ def make_blend_fn(config, blend_mode):
         from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
         assert config.blend_depth_cap > 0
-        return lambda el, r, fr: capped_ops.blend_tiles_capped(el, r, fr, config)
+        return lambda el, r, fr, caps: capped_ops.blend_tiles_capped_temporal(
+            el, r, fr, config, caps
+        )
     from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
 
     if blend_mode == "flat":
@@ -79,12 +86,15 @@ def build_frame_fn(config, capacity, blend_mode):
 
     blend = make_blend_fn(config, blend_mode)
 
-    def frame(table, view, proj, cam_pos):
+    def frame(table, view, proj, cam_pos, caps=None):
         elements, frame_data = keygen_ops.generate_sort_elements(
             table, view, proj, cam_pos, config, capacity
         )
         elements = sort_ops.sort_elements(elements, config)
         ranges = ranges_ops.find_ranges(elements, config.num_tiles)
+        if blend_mode == "capped":
+            image, caps_next, _ok = blend(elements, ranges, frame_data, caps)
+            return image, elements.count, caps_next
         image = blend(elements, ranges, frame_data)
         return image, elements.count
 
@@ -144,14 +154,27 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--blend", default="auto",
                     choices=["auto", "tiled", "flat", "capped", "xla"])
-    ap.add_argument("--cap", type=int, default=768,
-                    help="blend_depth_cap for --blend capped")
+    ap.add_argument("--cap", type=int, default=384,
+                    help="base per-tile cap for --blend capped (temporal "
+                         "policy escalates per tile up to --cap-max)")
+    ap.add_argument("--cap-max", type=int, default=4096)
+    ap.add_argument("--opacity-mode", default="capture",
+                    choices=["capture", "translucent"],
+                    help="procedural-scene opacity distribution (translucent "
+                         "= the round-1 setting, kept for A/B comparability)")
     ap.add_argument("--slack", type=int, default=None,
                     help="capacity_slack_per_tile override (reference: 1024; "
                          "a tighter value shrinks every per-slot pass — "
                          "results stay exact as long as nothing overflows, "
                          "which the live-element log confirms)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU platform is "
+                         "the default even without hardware flags; local "
+                         "smoke runs MUST use this — a second concurrent "
+                         "TPU client wedges the tunnel, CLAUDE.md)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
     from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
@@ -162,12 +185,12 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     blend_mode = args.blend
     if blend_mode == "auto":
-        # Flat schedule wins at benchmark scale (batch-granular saturation
-        # skip + no per-tile program overhead; garden A/B 2026-08-21).  The
-        # capped path is opt-in (--blend capped): exact via its in-graph
-        # fallback, but the procedural stand-in leaves a handful of
-        # never-saturating tiles that trip the fallback each frame.
-        blend_mode = "flat" if (on_tpu and not args.no_pallas) else "xla"
+        # Temporal per-tile caps are the production schedule (round 3): the
+        # capture-like scene saturates deeply (sat-diag 2026-08-21: 99.98%
+        # of tiles exact at cap 1024), caps converge within a few warmup
+        # frames, and steady-state frames skip both the full feature gather
+        # and the fallback entirely.
+        blend_mode = "capped" if (on_tpu and not args.no_pallas) else "xla"
     config = RenderConfig(
         width=width,
         height=height,
@@ -178,6 +201,7 @@ def main():
         # bitonic backend needs it; nearly halves all per-element costs).
         capacity_pow_two=False,
         blend_depth_cap=args.cap if blend_mode == "capped" else 0,
+        blend_cap_max=args.cap_max,
         **(
             {"capacity_slack_per_tile": args.slack}
             if args.slack is not None
@@ -188,7 +212,9 @@ def main():
     log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
         f"target_elems={target_elems} blend={blend_mode} sort={args.sort}")
     t0 = time.time()
-    host_table = procedural_cloud_table(n_gauss, seed=args.seed)
+    host_table = procedural_cloud_table(
+        n_gauss, seed=args.seed, opacity_mode=args.opacity_mode
+    )
     cam = Camera(width / height)
     cam.set_position((0.0, 0.0, 2.0))
     cam.set_rotation(math.pi, 0.0)
@@ -224,11 +250,29 @@ def main():
     # (transport broken-pipe after ~25 min, 2026-08-20); per-frame dispatch
     # compiles the same per-pass programs the pass bench already caches.
 
+    capped_mode = blend_mode == "capped"
+    if capped_mode:
+        from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
+
+        caps_cell = [capped_ops.init_caps(config)]
+
     @jax.jit
-    def frame_digest(eps):
+    def frame_digest_raw(eps, caps):
         v2 = vj.at[2, 3].add(eps)  # perturb so nothing constant-folds
-        img, count = frame(table, v2, pj, cj)
-        return jnp.sum(img[::97, ::97, 0]) + count.astype(jnp.float32) * jnp.float32(1e-9)
+        if capped_mode:
+            img, count, caps_next = frame(table, v2, pj, cj, caps)
+        else:
+            img, count, caps_next = *frame(table, v2, pj, cj), caps
+        d = jnp.sum(img[::97, ::97, 0]) + count.astype(jnp.float32) * jnp.float32(1e-9)
+        return d, caps_next
+
+    def frame_digest(eps):
+        # Temporal caps ride between frames as device arrays (no host sync).
+        caps = caps_cell[0] if capped_mode else jnp.int32(0)
+        d, caps_next = frame_digest_raw(eps, caps)
+        if capped_mode:
+            caps_cell[0] = caps_next
+        return d
 
     def make_chained():
         """Fallback: per-pass jits chained by async dispatch — identical
@@ -267,7 +311,11 @@ def main():
             r = rg(el)
             if first[0]:
                 log(f"  [compile] ranges done t+{time.time()-t0:.0f}s")
-            out = dig(bl(el, r, fr), el.count)
+            if capped_mode:
+                img, caps_cell[0], _ok = bl(el, r, fr, caps_cell[0])
+            else:
+                img = bl(el, r, fr)
+            out = dig(img, el.count)
             if first[0]:
                 log(f"  [compile] blend+digest done t+{time.time()-t0:.0f}s")
                 first[0] = False

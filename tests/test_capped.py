@@ -144,6 +144,89 @@ def test_packed_capacity_bounds():
     cfg = dataclasses.replace(BASE, blend_depth_cap=512)
     ep = capped_ops.packed_capacity(cfg, capacity=100_000)
     assert ep >= 0
-    # never exceeds either bound
-    assert ep <= cfg.num_tiles * 512
-    assert ep <= -(-100_000 // 128) * 128 + 128 * cfg.num_tiles
+    # never exceeds either bound (cap slab + misalignment-lead chunk)
+    assert ep <= cfg.num_tiles * (512 + 128)
+    assert ep <= -(-100_000 // 128) * 128 + 2 * 128 * cfg.num_tiles
+
+
+# ---------------------------------------------------------------------------
+# Temporal per-tile caps
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_caps_converge_and_stay_exact():
+    """Translucent stack: frame 1 fails validation (falls back, exact),
+    caps escalate, and a later frame validates once caps cover the need."""
+    config = dataclasses.replace(BASE, blend_depth_cap=8, blend_cap_max=64)
+    table = _stacked_table(40, opacity=0.01)
+    elements, ranges, frame = _prepare(table, config)
+    img_full = np.asarray(
+        blend_kernel.blend_tiles_pallas_flat(elements, ranges, frame, config)
+    )
+
+    caps = capped_ops.init_caps(config)
+    oks = []
+    for _ in range(4):
+        img, caps, ok = capped_ops.blend_tiles_capped_temporal(
+            elements, ranges, frame, config, caps
+        )
+        oks.append(bool(ok))
+        # exact every frame, validated or not
+        q = np.round(np.asarray(img) * 255.0).astype(np.int32)
+        qf = np.round(img_full * 255.0).astype(np.int32)
+        assert np.abs(q - qf).max() <= 1
+    # ranges (40 elements) exceed base cap 8 but fit cap_max 64:
+    # escalation 8 -> 16 -> 32 -> 64 must converge to a validated frame
+    assert not oks[0]
+    assert oks[-1]
+
+
+def test_temporal_caps_saturated_fast_path():
+    """Deep opaque stack with ranges beyond cap_max: validation must come
+    from per-pixel saturation (T < stop at the cap), not range fit, and the
+    converged frames are exact."""
+    config = dataclasses.replace(
+        BASE,
+        blend_depth_cap=32,
+        blend_cap_max=512,
+        capacity_slack_per_tile=512,  # ranges must not capacity-truncate
+    )
+    table = _stacked_table(300, opacity=0.95)
+    elements, ranges, frame = _prepare(table, config)
+    img_full = np.asarray(
+        blend_kernel.blend_tiles_pallas_flat(elements, ranges, frame, config)
+    )
+    caps = capped_ops.init_caps(config)
+    ok = False
+    for _ in range(5):
+        caps_in = caps
+        img, caps, ok = capped_ops.blend_tiles_capped_temporal(
+            elements, ranges, frame, config, caps
+        )
+        q = np.round(np.asarray(img) * 255.0).astype(np.int32)
+        qf = np.round(img_full * 255.0).astype(np.int32)
+        assert np.abs(q - qf).max() <= 1
+    assert bool(ok)
+    # most covered tiles' ranges exceed their converged cap -> their
+    # validity is saturation-based (T < stop at the cap), not range fit
+    r = np.asarray(ranges[:, 1].astype(jnp.int32) - ranges[:, 0].astype(jnp.int32))
+    sat_valid = (r > np.asarray(caps_in)) & (r > 0)
+    assert sat_valid.sum() >= valid_count_min(r)
+
+
+def valid_count_min(r):
+    return max(1, (r > 0).sum() // 2)
+
+
+def test_temporal_caps_decay():
+    """Caps escalated for a deep scene decay back once ranges shrink."""
+    config = dataclasses.replace(BASE, blend_depth_cap=8, blend_cap_max=64)
+    shallow = _stacked_table(3, opacity=0.5)
+    elements, ranges, frame = _prepare(shallow, config)
+    caps = jnp.full((config.num_tiles,), 64, jnp.int32)  # escalated earlier
+    _img, caps2, ok = capped_ops.blend_tiles_capped_temporal(
+        elements, ranges, frame, config, caps
+    )
+    assert bool(ok)
+    # ranges are ~3 elements -> caps halve toward the base
+    assert int(jnp.max(caps2)) <= 32

@@ -116,6 +116,15 @@ class RenderConfig:
     # exact (range fit the cap, or all pixels saturated).  0 disables.
     # Exactness argument + float-regrouping caveat in ops/capped.py.
     blend_depth_cap: int = 0
+    # Upper bound for per-tile temporal caps (ops/capped.py temporal
+    # policy); also the static DMA window of the run compactor.  Multiple
+    # of 128.  Tiles needing more than this never validate and force the
+    # full-blend fallback every frame.
+    blend_cap_max: int = 4096
+    # Packed-layout budget per tile beyond roundup(blend_depth_cap, 128)
+    # for the temporal policy (escalated tiles + alignment).  The packed
+    # size is STATIC, so gather/blend cost scales with this directly.
+    packed_slack_per_tile: int = 256
 
     # ----- derived static quantities --------------------------------------
 

@@ -5,29 +5,47 @@ below 1e-4 (RenderGaussians.comp:136-142), so elements past the point where
 EVERY pixel of a tile is saturated contribute exactly zero.  On TPU the
 dominant frame cost is the post-sort feature row-gather (~6.5 ns/row
 regardless of width, measured), which the plain path pays for every sorted
-slot.  This module truncates each tile's range to its first
-`config.blend_depth_cap` sorted elements *before* the gather:
+slot.  This module truncates each tile's range to its first `cap_t` sorted
+elements *before* the gather:
 
-  1. build a packed element layout: per tile, its first min(r_t, cap)
-     sorted slots, each tile's segment 128-lane aligned (zero leading DMA
-     alignment waste in the blend kernel).  The packed slot -> source slot
-     map is monotone, so it comes from the Pallas expansion kernel over the
-     8160-entry tile table — no scatter, no big gather;
+  1. build a packed element layout: per tile, its first min(r_t, cap_t)
+     sorted slots, each tile's segment 128-lane aligned;
   2. gather gaussian ids + feature rows only for the packed slots
-     (sum(min(r_t, cap)) rows instead of the full capacity);
+     (sum over tiles of min(r_t, cap_t) rows instead of the full capacity);
+     the id fetch is the run-granular Pallas compactor (one DMA pair per
+     tile, ops/pallas/compact_kernel.py:compact_runs), not a row-gather;
   3. blend with the flat kernel on packed ranges, reading back the
      per-pixel outgoing transmittance (kernel row 3);
-  4. exactness validation: a tile is exact iff its range fit the cap OR all
+  4. exactness validation: a tile is exact iff its range fit its cap OR all
      its pixels saturated (T < stop) at the cap — T is monotone, so both
-     conditions are decidable from the capped run alone.  If ANY tile fails,
-     a `lax.cond` falls back to the full uncapped blend within the same
-     program; the fast path's cost is paid only on frames where it is exact.
+     conditions are decidable from the capped run alone.  If ANY tile fails
+     (or the packed layout overflows), a `lax.cond` falls back to the full
+     uncapped blend within the same program.
+
+Two cap policies:
+
+  * `blend_tiles_capped` — one static cap for every tile
+    (config.blend_depth_cap).  Exact-or-fallback per frame.
+  * `blend_tiles_capped_temporal` — per-tile caps carried ACROSS frames
+    (the production policy): tiles that fail validation escalate their cap
+    2x (up to config.blend_cap_max) for the next frame, tiles whose range
+    shrank below half their cap decay back toward the base.  After one or
+    two frames of a new viewpoint the caps converge and frames take the
+    fast path with zero fallback cost.  This is the temporal analogue of
+    the reference's per-pixel early-out: the reference re-discovers each
+    tile's saturation depth every frame with fine-grained divergent
+    branches (free on a GPU, poison on a TPU); we remember it between
+    frames and *verify* it in-graph each frame, falling back when the
+    camera moved enough to invalidate it.  Exactness is therefore
+    per-frame unconditional: a frame either validates or re-renders.
 
 Float caveat: batch boundaries differ between the capped and uncapped
 schedules, so the log2-tree transmittance products regroup and images can
-differ in final-ulp floats; the quantized-image contract (+-1 8-bit,
-docs/TOLERANCES.md) is unaffected.  Sort-element integer artifacts are
-untouched (the truncation happens strictly after the sort).
+differ in final-ulp floats; validation reads T under the packed grouping,
+so per-pixel tails bounded by transmittance_stop (1e-4) can drop — both
+absorbed by the quantized-image contract (+-1 8-bit, docs/TOLERANCES.md).
+Sort-element integer artifacts are untouched (the truncation happens
+strictly after the sort).
 """
 
 from __future__ import annotations
@@ -41,21 +59,115 @@ from jax import lax
 from ..core.config import SENTINEL, RenderConfig
 from .keygen import GaussianFrameData, SortElements
 from .pallas import blend_kernel
-from .pallas.compact_kernel import compact_segments
+from .pallas.compact_kernel import compact_runs
 from .pallas.expand_kernel import expand_rows
 
 SEG_ALIGN = 128  # packed per-tile segment alignment (DMA lane alignment)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def packed_capacity(config: RenderConfig, capacity: int) -> int:
-    """Static packed-layout capacity: sum over tiles of the 128-aligned
-    capped segment is bounded both by num_tiles * roundup(cap, 128) and by
-    roundup(capacity, 128) + 128 * num_tiles.  Rounded to 512 (the segment
-    compactor's batch granularity)."""
-    cap_p = -(-config.blend_depth_cap // SEG_ALIGN) * SEG_ALIGN
+    """Static packed-layout capacity for the static-cap path: bounded both
+    by num_tiles * (roundup(cap, 128) + 128) and by roundup(capacity, 128)
+    + 2*128 * num_tiles (each tile adds <= 128 alignment + <= 127
+    misalignment-lead lanes).  Rounded to 512."""
+    cap_p = _round_up(config.blend_depth_cap, SEG_ALIGN) + SEG_ALIGN
     bound_a = config.num_tiles * cap_p
-    bound_b = -(-capacity // SEG_ALIGN) * SEG_ALIGN + SEG_ALIGN * config.num_tiles
-    return -(-min(bound_a, bound_b) // 512) * 512
+    bound_b = (
+        _round_up(capacity, SEG_ALIGN) + 2 * SEG_ALIGN * config.num_tiles
+    )
+    return _round_up(min(bound_a, bound_b), 512)
+
+
+def packed_capacity_temporal(config: RenderConfig, capacity: int) -> int:
+    """Static packed capacity for the temporal-caps path.
+
+    Steady-state occupancy is sum_t roundup(off_t + min(r_t, cap_t), 128)
+    where the converged cap_t ~ each tile's saturation depth; the budget
+    adds `packed_slack_per_tile` slots per tile over the base cap for
+    escalated tiles + alignment + misalignment lead.  Gather/blend cost is
+    proportional to this STATIC size, so the slack is a real cost knob,
+    not just safety."""
+    cap_p = _round_up(config.blend_depth_cap, SEG_ALIGN) + SEG_ALIGN
+    bound_a = config.num_tiles * (cap_p + config.packed_slack_per_tile)
+    bound_b = (
+        _round_up(capacity, SEG_ALIGN) + 2 * SEG_ALIGN * config.num_tiles
+    )
+    return _round_up(min(bound_a, bound_b), 512)
+
+
+def _capped_core(
+    elements: SortElements,
+    ranges,
+    frame: GaussianFrameData,
+    config: RenderConfig,
+    caps,
+    ep: int,
+):
+    """Capped blend at per-tile caps; returns (img, t_out, valid, fits).
+
+    caps: [num_tiles] i32, each <= config.blend_cap_max.
+    """
+    capacity = elements.tile.shape[0]
+    bk = config.blend_batch_k
+    # The compactor's per-tile DMA window: slab width = roundup(off +
+    # count, 128) <= roundup(127 + cap_max, 128) = cap_max + 128.
+    wmax = _round_up(config.blend_cap_max, SEG_ALIGN) + SEG_ALIGN
+
+    starts = ranges[:, 0].astype(jnp.int32)
+    ends = ranges[:, 1].astype(jnp.int32)
+    r = ends - starts
+    counts = jnp.minimum(r, caps)
+    # Alignment-preserving slab layout (compact_kernel.py rationale): tile
+    # t's run lands at sbase_t + off_t where off_t = starts_t mod 128, so
+    # both compactor DMAs use provably-128-aligned offsets.
+    off = starts - (starts // SEG_ALIGN) * SEG_ALIGN
+    slabw = -(-(off + counts) // SEG_ALIGN) * SEG_ALIGN
+    pcum = jnp.cumsum(slabw)
+    sbase = (pcum - slabw).astype(jnp.int32)
+    fits = pcum[-1] <= jnp.int32(ep)
+
+    # Packed CHUNK (128 lanes) -> live lane window via the monotone
+    # expansion over the tile table (InitSortList's allocation machinery
+    # reused at chunk granularity: ~ep/128 slots, trivially cheap).
+    counts128 = slabw // SEG_ALIGN
+    sbase128 = sbase // SEG_ALIGN
+    nchunks = ep // SEG_ALIGN
+    cols, _ = expand_rows([sbase128, counts, off], counts128, nchunks)
+    cs = jnp.arange(nchunks, dtype=jnp.int32)
+    chunk_local = (cs - cols[0]) * jnp.int32(SEG_ALIGN)
+    thr_lo = cols[2] - chunk_local  # first live lane within the chunk
+    thr_hi = cols[2] + cols[1] - chunk_local  # one past the last live lane
+    lane = jnp.arange(SEG_ALIGN, dtype=jnp.int32)
+    seg_live = (
+        (lane[None, :] >= thr_lo[:, None]) & (lane[None, :] < thr_hi[:, None])
+    ).reshape(ep)
+
+    # Run-granular index compaction: one (load, store) DMA pair per tile
+    # instead of an XLA row-gather (~6 ns/row regardless of contiguity) or
+    # a per-128-chunk DMA (issue-bound at ~100K issues).
+    gid_raw = compact_runs(elements.index, starts, sbase, ep, wmax)
+    live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
+    gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
+
+    rows = jnp.take(
+        blend_kernel.pack_feature_table(frame), gid, axis=0, mode="clip"
+    )  # the one remaining row-gather: ep rows instead of full capacity
+    feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
+
+    pstart = sbase + off
+    pranges = jnp.stack([pstart, pstart + counts], axis=1).astype(jnp.uint32)
+    img, t_out = blend_kernel.blend_flat_core(
+        feat, pranges, config, ep, with_t=True
+    )
+
+    # Exactness: range fit the cap, or every pixel saturated at the cap.
+    t_max = jnp.max(t_out, axis=1)
+    valid = (r <= counts) | (t_max < jnp.float32(config.transmittance_stop))
+    return img, t_out, valid, fits
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -65,63 +177,17 @@ def blend_tiles_capped(
     frame: GaussianFrameData,
     config: RenderConfig,
 ):
-    """Capped blend with in-graph exactness fallback; returns [H, W, 3]."""
+    """Static-cap capped blend with in-graph exactness fallback; [H, W, 3]."""
     cap = config.blend_depth_cap
     assert cap > 0, "blend_tiles_capped requires config.blend_depth_cap > 0"
+    assert cap <= config.blend_cap_max
     capacity = elements.tile.shape[0]
-    bk = config.blend_batch_k
-
-    starts = ranges[:, 0].astype(jnp.int32)
-    ends = ranges[:, 1].astype(jnp.int32)
-    r = ends - starts
-    counts = jnp.minimum(r, jnp.int32(cap))
-    pcounts = -(-counts // SEG_ALIGN) * SEG_ALIGN
-    pcum = jnp.cumsum(pcounts)
-    pstart = (pcum - pcounts).astype(jnp.int32)
-
     ep = packed_capacity(config, capacity)
-    # Packed CHUNK (128 lanes) -> (source start, live threshold) via the
-    # monotone expansion over the tile table (InitSortList's allocation
-    # machinery reused at chunk granularity: ~ep/128 slots, trivially cheap).
-    counts128 = pcounts // SEG_ALIGN
-    pstart128 = pstart // SEG_ALIGN
-    nchunks = ep // SEG_ALIGN
-    cols, _ = expand_rows([starts, pstart128, counts], counts128, nchunks)
-    cs = jnp.arange(nchunks, dtype=jnp.int32)
-    chunk_local = (cs - cols[1]) * jnp.int32(SEG_ALIGN)
-    src0 = cols[0] + chunk_local
-    thr = cols[2] - chunk_local  # live lanes within the chunk
-    lane = jnp.arange(SEG_ALIGN, dtype=jnp.int32)
-    seg_live = (lane[None, :] < thr[:, None]).reshape(ep)
-
-    # Piecewise-contiguous index fetch: one 256-lane DMA + dynamic lane
-    # rotate per chunk (bandwidth-bound) instead of an XLA row-gather
-    # (~6 ns/row regardless of contiguity).
-    gid_raw = compact_segments(elements.index, src0, ep)
-    live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
-    gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
-
-    rows = jnp.take(
-        blend_kernel.pack_feature_table(frame), gid, axis=0, mode="clip"
-    )  # row-gather #2 (clip: gid already in-bounds; fill mode adds a
-    # per-row OOB select)
-    feat = blend_kernel.features_from_rows(
-        rows, live.astype(jnp.float32), bk
+    caps = jnp.full((config.num_tiles,), cap, jnp.int32)
+    img, _t, valid, fits = _capped_core(
+        elements, ranges, frame, config, caps, ep
     )
-
-    pranges = jnp.stack(
-        [pstart, pstart + counts], axis=1
-    ).astype(jnp.uint32)
-    img, t_out = blend_kernel.blend_flat_core(
-        feat, pranges, config, ep, with_t=True
-    )
-
-    # Exactness: range fit the cap, or every pixel saturated at the cap.
-    t_max = jnp.max(t_out, axis=1)
-    valid = (r <= jnp.int32(cap)) | (
-        t_max < jnp.float32(config.transmittance_stop)
-    )
-    ok = jnp.all(valid)
+    ok = jnp.all(valid) & fits
 
     def full_path(_):
         return blend_kernel.blend_tiles_pallas_flat(
@@ -129,3 +195,63 @@ def blend_tiles_capped(
         )
 
     return lax.cond(ok, lambda _: img, full_path, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def blend_tiles_capped_temporal(
+    elements: SortElements,
+    ranges,
+    frame: GaussianFrameData,
+    config: RenderConfig,
+    caps,
+):
+    """Per-tile temporal-caps blend.
+
+    Args:
+      caps: [num_tiles] int32 per-tile caps from the previous frame
+            (init: full(config.blend_depth_cap); see init_caps).
+
+    Returns (image [H, W, 3], caps_next [num_tiles] i32, ok []).  The frame
+    is exact regardless of `ok`: invalid frames take the in-graph full
+    fallback; `ok` reports whether the fast path validated (and therefore
+    whether the frame was cheap).
+    """
+    base = config.blend_depth_cap
+    assert base > 0
+    cap_max = config.blend_cap_max
+    capacity = elements.tile.shape[0]
+    ep = packed_capacity_temporal(config, capacity)
+
+    caps = jnp.clip(caps.astype(jnp.int32), base, cap_max)
+    img, _t, valid, fits = _capped_core(
+        elements, ranges, frame, config, caps, ep
+    )
+    ok = jnp.all(valid) & fits
+
+    starts = ranges[:, 0].astype(jnp.int32)
+    r = ranges[:, 1].astype(jnp.int32) - starts
+    # Escalate failed tiles 2x (geometric: converges in <= log2 frames up
+    # to cap_max without overshooting — a 4x jump would pin 2-4x more packed
+    # slots than the tile's true saturation depth, and there is no
+    # saturation-based decay to reclaim them); decay tiles whose range
+    # shrank below half their cap (monotone-safe: the decayed cap still
+    # covers the full range, so no oscillation).
+    esc = jnp.minimum(caps * 2, jnp.int32(cap_max))
+    dec = jnp.maximum(caps // 2, jnp.int32(base))
+    caps_next = jnp.where(
+        valid, jnp.where(r * 2 <= caps, dec, caps), esc
+    )
+
+    def full_path(_):
+        return blend_kernel.blend_tiles_pallas_flat(
+            elements, ranges, frame, config
+        )
+
+    img = lax.cond(ok, lambda _: img, full_path, 0)
+    return img, caps_next, ok
+
+
+def init_caps(config: RenderConfig):
+    """Initial per-tile caps for the temporal policy."""
+    assert config.blend_depth_cap > 0
+    return jnp.full((config.num_tiles,), config.blend_depth_cap, jnp.int32)

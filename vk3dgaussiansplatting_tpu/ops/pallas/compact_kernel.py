@@ -35,6 +35,140 @@ CHUNK = 128
 BATCH = 4  # chunks per grid step (one 512-lane output block)
 
 
+# ---------------------------------------------------------------------------
+# Run-granular compactor — one DMA pair per TILE instead of per 128-chunk.
+#
+# compact_segments above issues one 1 KB DMA per 128-lane output chunk;
+# at garden scale (~6M packed slots -> ~49K chunks) that is ~100K DMA issues
+# at the measured ~600 ns small-DMA issue cost, i.e. tens of ms of pure
+# issue overhead.  The packed layout's runs are PER-TILE (avg cap/128 = 3-8
+# chunks long), so issuing one load + one store per tile cuts the issue
+# count ~8x.
+#
+# Alignment: Mosaic requires provably-128-aligned dynamic lane offsets on
+# both DMA ends (unaligned offsets fail the server-side compiler: "Failed
+# to prove that a tile index ... is divisible by the tiling (128)",
+# observed 2026-08-21).  Rather than re-aligning with an in-VMEM roll, the
+# packed layout PRESERVES each run's misalignment: tile t's run lands at
+# slab_base[t] + (starts[t] mod 128), both DMAs use the aligned-down
+# offsets, and the (up to 127) leading lanes of each slab carry source
+# garbage that callers mask (the blend's batch in-range masks already
+# handle arbitrary range starts).  The whole compactor is then a pure
+# aligned DMA pump: no vector ops at all.
+#
+# A tile's fixed-width (wmax) store overruns its slab into the next tiles'
+# region, so stores are strictly serialized — tile t+1's store (issued
+# after t's completes) overwrites t's overrun.  Trailing overrun past the
+# last tile lands in the wmax-lane output pad and is sliced off.
+# ---------------------------------------------------------------------------
+
+
+def _compact_runs_kernel(
+    astarts_ref,  # [T] i32 aligned-down first source slot ((starts//128)*128)
+    sbases_ref,   # [T] i32 128-aligned slab base offsets (monotone)
+    src_hbm,      # [1, e_pad]
+    out_hbm,      # [1, ep + wmax] (ANY; written via explicit DMA)
+    buf,          # [2, 1, wmax] VMEM
+    load_sem,     # [2]
+    store_sem,    # [2]
+    *,
+    wmax: int,
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    slot = lax.rem(t, 2)
+
+    def load(buf_slot, tile):
+        a0 = pl.multiple_of(astarts_ref[tile], CHUNK)
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(a0, wmax)],
+            buf.at[buf_slot],
+            load_sem.at[buf_slot],
+        )
+
+    def store(buf_slot, tile):
+        p0 = pl.multiple_of(sbases_ref[tile], CHUNK)
+        return pltpu.make_async_copy(
+            buf.at[buf_slot],
+            out_hbm.at[:, pl.ds(p0, wmax)],
+            store_sem.at[buf_slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        load(0, 0).start()
+
+    # Serialize with the t-1 store before reusing its buffer for the t+1
+    # load AND before issuing the t store (overlapping destination regions).
+    @pl.when(t >= 1)
+    def _():
+        store(1 - slot, t - 1).wait()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        load(1 - slot, t + 1).start()
+
+    load(slot, t).wait()
+    store(slot, t).start()
+
+    @pl.when(t == nt - 1)
+    def _():
+        store(slot, t).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("ep", "wmax"))
+def compact_runs(src, starts, sbases, ep: int, wmax: int):
+    """Per-run alignment-preserving compaction.
+
+    For every tile t, with off_t = starts[t] mod 128:
+      out[sbases[t] + off_t + i] = src[starts[t] + i]
+    for i in [0, wmax - 128); equivalently the whole aligned window
+    out[sbases[t] : sbases[t]+wmax] = src[align128(starts[t]) : +wmax],
+    with later tiles' windows overwriting earlier overrun.
+
+    Args:
+      src:    [E] int32/uint32 source values (sorted element order).
+      starts: [T] i32 first source slot per tile (range starts, any
+              alignment).
+      sbases: [T] i32 128-aligned slab bases, monotone non-decreasing,
+              with sbases[t+1] - sbases[t] <= wmax.
+      ep:     static packed capacity (multiple of 128).
+      wmax:   static per-tile DMA window (multiple of 128); each tile's
+              slab width (off + count rounded up to 128) must be <= wmax.
+
+    Returns [ep] packed values (dtype of src); lanes outside each tile's
+    [sbases+off, sbases+off+count) carry source garbage — callers mask.
+    """
+    assert ep % CHUNK == 0 and wmax % CHUNK == 0
+    e = src.shape[0]
+    dtype = src.dtype
+    e_pad = -(-e // CHUNK) * CHUNK + wmax
+    src_row = jnp.pad(src.astype(jnp.int32), (0, e_pad - e)).reshape(1, e_pad)
+    astarts = (starts.astype(jnp.int32) // CHUNK) * CHUNK
+    astarts = jnp.clip(astarts, 0, e_pad - wmax)
+    sbases = jnp.clip(sbases.astype(jnp.int32), 0, ep)
+    nt = starts.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, wmax), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_compact_runs_kernel, wmax=wmax),
+        out_shape=jax.ShapeDtypeStruct((1, ep + wmax), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(astarts, sbases, src_row)
+    return out[0, :ep].astype(dtype)
+
+
 def _compact_kernel(src0_ref, src_hbm, out_ref, bufs, sems, *, e_pad: int):
     b = pl.program_id(0)
     nb = pl.num_programs(0)

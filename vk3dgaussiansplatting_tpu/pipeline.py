@@ -78,6 +78,44 @@ def render_frame(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config", "capacity"))
+def render_frame_temporal(
+    table: GaussianTable,
+    view,
+    proj,
+    cam_pos,
+    caps,
+    *,
+    config: RenderConfig,
+    capacity: int,
+):
+    """Frame with the temporal per-tile-caps blend (ops/capped.py).
+
+    `caps` is the per-tile cap state from the previous frame
+    (capped_ops.init_caps to start); returns (FrameOutputs, caps_next).
+    The frame is exact regardless of whether the caps validated — invalid
+    frames take the in-graph full-blend fallback and escalate their caps.
+    """
+    from .ops import capped as capped_ops
+
+    elements, frame = keygen_ops.generate_sort_elements(
+        table, view, proj, cam_pos, config, capacity
+    )
+    elements = sort_ops.sort_elements(elements, config)
+    ranges = ranges_ops.find_ranges(elements, config.num_tiles)
+    image, caps_next, _ok = capped_ops.blend_tiles_capped_temporal(
+        elements, ranges, frame, config, caps
+    )
+    return (
+        FrameOutputs(
+            image_u8=blend_ops.quantize_image(image),
+            image=image,
+            num_elements=elements.count,
+        ),
+        caps_next,
+    )
+
+
 class Renderer:
     """Scene-bound renderer (reference: Renderer + initForScene)."""
 
@@ -86,12 +124,18 @@ class Renderer:
         if use_pallas_blend is None:
             use_pallas_blend = jax.default_backend() == "tpu"
         self.use_pallas_blend = use_pallas_blend
+        # Temporal per-tile caps (production blend policy): used whenever the
+        # Pallas blend is on and blend_depth_cap > 0.  The caps array is the
+        # renderer's only cross-frame state (reset per scene).
+        self.temporal_caps = use_pallas_blend and config.blend_depth_cap > 0
+        self._caps = None
         self.table: GaussianTable | None = None
         self.capacity: int | None = None
 
     def init_for_scene(self, table: GaussianTable) -> None:
         """Upload the gaussian table and fix static sizes (Renderer.cpp:712)."""
         self.capacity = self.config.sort_capacity(table.num_gaussians)
+        self._caps = None  # temporal caps reset on scene swap
         self.table = jax.device_put(
             GaussianTable(
                 position=jnp.asarray(table.position, dtype=jnp.float32),
@@ -107,6 +151,21 @@ class Renderer:
         if self.table is None:
             raise RuntimeError("call init_for_scene() first")
         view, proj = camera.matrices()
+        if self.temporal_caps:
+            from .ops import capped as capped_ops
+
+            if self._caps is None:
+                self._caps = capped_ops.init_caps(self.config)
+            out, self._caps = render_frame_temporal(
+                self.table,
+                jnp.asarray(view),
+                jnp.asarray(proj),
+                jnp.asarray(camera.position, dtype=jnp.float32),
+                self._caps,
+                config=self.config,
+                capacity=self.capacity,
+            )
+            return out
         return render_frame(
             self.table,
             jnp.asarray(view),
