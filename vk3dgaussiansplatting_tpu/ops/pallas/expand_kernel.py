@@ -9,31 +9,43 @@ Garden-30k scale).  This kernel exploits the *monotone* structure the repeat
 hides: slot j's source row r(j) = #{i : cum_i <= j} is non-decreasing, so a
 window of W consecutive slots draws from a narrow band of source rows.
 
+Round-3 rework (2026-08-21) — the round-2 kernel was DMA-issue and crossbar
+bound, and its 512-aligned chunk starts made multi-chunk refills the COMMON
+case on real cull patterns (keygen 61 ms real vs 34.9 ms synthetic):
+
+  * chunk starts are the window's EXACT first source row aligned down to
+    128 (the Mosaic DMA-alignment minimum) instead of 512, so a window
+    refills only when its true span exceeds ~384 rows — rare;
+  * the per-window source-block count n_src = ceil((misalign + span)/128)
+    is precomputed XLA-side and shipped through SCALAR prefetch; both the
+    compare and the value-crossbar loops skip blocks >= n_src with
+    pl.when on scalar conditions.  (Round 2's band-skip attempt derived
+    the predicates from vreg reductions — scalar extraction cost ate the
+    win; scalar-prefetch predicates are free.)
+  * the count is a blocked flat compare: per 128-row block, the cum row is
+    transposed to a [128, 1] column (the [1,128]->[128,1] transpose is the
+    round-2-proven shape) and compared against the [1, W] slot ids; the
+    per-chunk group layout (second DMA stream + its XLA-side build) is
+    gone — it was only meaningful for 512-aligned chunk starts;
+  * one HBM input instead of two: [8, N] = 7 value rows + the cumsum row.
+
 Per 512-slot window (one grid step):
 
-  1. the window's first source row s_w comes from a tiny XLA-side
-     `searchsorted` over the inclusive cumsum (one probe per window);
-  2. one [8, 512] slice of the packed source table is DMA'd to VMEM — 7 value
-     rows plus the inclusive cumsum as row 7 (the next window's slice is
-     prefetched double-buffered);
+  1. the window's first source row comes from a two-level XLA-side
+     searchsorted over the inclusive cumsum (one probe per window);
+  2. one [8, 512] slice of the packed source table is DMA'd to VMEM,
+     double-buffered across windows;
   3. the covering row of each slot is the compare-count
-     cnt[j] = sum_i (cum[i] <= j) over the chunk, computed in TWO levels:
-     a coarse count over the 64 group-of-8 last-values ([64 x 512] compare)
-     plus a fine count inside the covering group (a 128-lane crossbar gather
-     of the group's 8 cum values + [8 x 512] compare).  The group layout
-     cum_g[k, g] = cum[8g + k] is precomputed OUTSIDE the kernel (XLA
-     reshape) and shipped as a second [8, N_pad] input — in-kernel strided
-     slices / 1D->2D shape casts fail the server-side Mosaic compiler
-     (observed 2026-08-20), precomputed layouts avoid them entirely.  This
-     replaces the earlier flat [512 x 512] compare (~4x the vector work);
+     cnt[j] = sum_i (cum[i] <= j), counted over the first n_src 128-row
+     blocks only (rows beyond the window's span satisfy cum > j by
+     construction);
   4. the expansion itself is Mosaic's vreg lane-crossbar
-     (`tpu.dynamic_gather`, reached via `jnp.take_along_axis(x, idx, axis=1)`
-     with idx.shape == x.shape): 4 slot lane-groups x 4 source lane-groups
-     of [8, 128] gathers + selects, moving all 8 rows per op.  The gather
-     moves raw i32 bits — the expansion is exact by construction (verified
-     bit-for-bit against jnp.repeat in tests/test_expand.py);
-  5. a `while_loop` refills further 512-row chunks for the rare window whose
-     source span exceeds one chunk (e.g. long culled runs, or >512 tiny
+     (`tpu.dynamic_gather`, reached via `jnp.take_along_axis(x, idx,
+     axis=1)` with idx.shape == x.shape): 4 slot lane-groups x n_src
+     source lane-groups of [8, 128] gathers + selects, moving all 8 rows
+     per op;
+  5. a `while_loop` refills further 512-row chunks for the rare window
+     whose source span exceeds one chunk (long culled runs, or >512 tiny
      one-tile gaussians per window).
 
 Slots past the live total search for min(j, total-1) instead of j so the
@@ -52,6 +64,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..search import two_level_left_search
 from .common import interpret_mode
 
 # Slots per window == source rows per chunk.  One lane-group is 128; the
@@ -59,30 +72,52 @@ from .common import interpret_mode
 # 512/128 = 4 static groups.
 WINDOW = 512
 GROUP = 128
+NBLOCKS = WINDOW // GROUP  # 4
 NUM_ROWS = 8  # 7 value rows + the cumsum control row
 CUM_ROW = NUM_ROWS - 1
 MAX_COLS = NUM_ROWS - 1
-GROUP_OF = 8  # cum rows per coarse group (two-level count)
-GROUP_ROWS = 8  # sublane rows of the precomputed group layout
+ALIGN = 128  # chunk-start alignment (Mosaic dynamic-DMA minimum)
 
 _HUGE = 2**31 - 1
 
 
-def _gather_groups(vals_buf, local, found):
+def _count_blocked(vbuf, j_eff, nsrc):
+    """cnt[j] = #{rows i in chunk : cum[i] <= j_eff[j]}, blocked.
+
+    vbuf: [NUM_ROWS, W] chunk (row CUM_ROW = inclusive cumsum).
+    j_eff: [1, W] i32 clipped slot ids.
+    nsrc:  scalar i32 — only the first nsrc 128-row blocks can satisfy
+           cum <= j for this window's slots; later blocks are skipped.
+    Returns [1, W] i32 in [0, nsrc*GROUP].
+    """
+    cnt = jnp.zeros((1, WINDOW), jnp.int32)
+    for h in range(NBLOCKS):
+        # Block h's cum values as a [GROUP, 1] column (proven transpose
+        # shape) -> broadcast compare against all W slots.
+        col = vbuf[CUM_ROW : CUM_ROW + 1, h * GROUP : (h + 1) * GROUP].T
+        blk = jnp.sum(
+            (col <= j_eff).astype(jnp.int32), axis=0, keepdims=True
+        )  # [1, W]
+        cnt = cnt + jnp.where(jnp.int32(h) < nsrc, blk, 0)
+    return cnt
+
+
+def _gather_groups(vals_buf, local, found, nsrc):
     """Expand one chunk: out[:, j] = vals_buf[:, local[j]] where found[j].
 
     vals_buf: [NUM_ROWS, WINDOW] i32 chunk of source rows (lanes = rows).
     local:    [1, WINDOW] i32 covering-row index within the chunk.
     found:    [1, WINDOW] bool — lanes whose covering row is in this chunk.
+    nsrc:     scalar i32 — source blocks beyond it hold no covering rows.
     Returns [NUM_ROWS, WINDOW] i32 with unfound lanes zero.
     """
     out_groups = []
-    for g in range(WINDOW // GROUP):
+    for g in range(NBLOCKS):
         sl = slice(g * GROUP, (g + 1) * GROUP)
         idx_g = local[:, sl]  # [1, GROUP]
         fnd_g = jnp.broadcast_to(found[:, sl], (NUM_ROWS, GROUP))
         acc_g = jnp.zeros((NUM_ROWS, GROUP), jnp.int32)
-        for h in range(WINDOW // GROUP):
+        for h in range(NBLOCKS):
             lidx = idx_g - jnp.int32(h * GROUP)
             valid = fnd_g & jnp.broadcast_to(
                 (lidx >= 0) & (lidx < GROUP), (NUM_ROWS, GROUP)
@@ -92,67 +127,22 @@ def _gather_groups(vals_buf, local, found):
             )
             src = vals_buf[:, h * GROUP : (h + 1) * GROUP]
             gth = jnp.take_along_axis(src, lidx_c, axis=1)
-            acc_g = jnp.where(valid, gth, acc_g)
+            picked = jnp.where(valid, gth, acc_g)
+            # Crossbars are the kernel's budget (85 ns per [8,128] op);
+            # skip source blocks the window's span provably never reaches.
+            acc_g = jnp.where(jnp.int32(h) < nsrc, picked, acc_g)
         out_groups.append(acc_g)
     return jnp.concatenate(out_groups, axis=1)
 
 
-def _count_two_level(vbuf, gbuf, j_eff):
-    """cnt[j] = #{rows i in chunk : cum[i] <= j_eff[j]}, two-level.
-
-    vbuf: [NUM_ROWS, W] value chunk (row CUM_ROW = flat cumsum).
-    gbuf: [GROUP_ROWS, W] group layout: gbuf[k, g] = cum[8g + k] for
-          g < W//8 (lanes beyond W//8 hold _HUGE padding).
-    Coarse: count groups whose LAST value (gbuf row 7) <= j — one
-    [64 x W] compare.  Fine: crossbar-gather the covering group's 8 cum
-    values (indices < 64 are group-0-local, the proven [8,128] pattern)
-    and count within — one [8 x W] compare.  `searching`-free; returns
-    [1, W] i32.
-    """
-    ngroups = WINDOW // GROUP_OF  # 64
-    # Coarse: group-last values as sublanes.  gbuf[7, 0:128] holds
-    # cum[8g+7] for g<64 (lanes 64-127 _HUGE); transpose+slice to [64, 1].
-    last_lane = gbuf[GROUP_ROWS - 1 : GROUP_ROWS, 0:GROUP].T  # [128, 1]
-    last_col = last_lane[0:ngroups, :]  # [64, 1]
-    coarse = jnp.sum(
-        (last_col <= j_eff).astype(jnp.int32), axis=0, keepdims=True
-    )  # [1, W] in [0, 64]
-    coarse_c = jnp.minimum(coarse, ngroups - 1)
-
-    # Fine: gather the covering group's 8 cum values per slot.  Source is
-    # the group-0 lane slice [8, 128] (indices < 64), destination decomposed
-    # into 128-lane groups exactly like _gather_groups.
-    src = gbuf[:, 0:GROUP]  # [8, 128]
-    fine_parts = []
-    for g in range(WINDOW // GROUP):
-        sl = slice(g * GROUP, (g + 1) * GROUP)
-        idx_g = jnp.broadcast_to(coarse_c[:, sl], (GROUP_ROWS, GROUP))
-        gath = jnp.take_along_axis(src, idx_g, axis=1)  # [8, 128]
-        fine_parts.append(
-            jnp.sum(
-                (gath <= j_eff[:, sl]).astype(jnp.int32),
-                axis=0,
-                keepdims=True,
-            )
-        )
-    fine = jnp.concatenate(fine_parts, axis=1)  # [1, W]
-    return jnp.where(
-        coarse >= ngroups,
-        jnp.int32(WINDOW),
-        coarse * jnp.int32(GROUP_OF) + fine,
-    )
-
-
 def _expand_kernel(
-    sw_ref,  # [B] i32 scalar-prefetch: aligned first source row per window
+    sw_ref,  # [B] i32 scalar-prefetch: 128-aligned first source row / window
+    nsrc_ref,  # [B] i32 scalar-prefetch: source blocks covering the span
     total_ref,  # [1] i32 scalar-prefetch: live element count (cum[-1])
     vals_hbm,  # [NUM_ROWS, N_pad] i32 packed source rows (row 7 = cumsum)
-    cumg_hbm,  # [GROUP_ROWS, N_pad] i32 per-chunk group layout of the cumsum
     out_ref,  # [NUM_ROWS, WINDOW] block at (0, b)
     vals_buf,  # [2, NUM_ROWS, WINDOW] VMEM scratch
-    cumg_buf,  # [2, GROUP_ROWS, WINDOW] VMEM scratch
     sems,  # DMA semaphores [2]
-    gsems,  # DMA semaphores [2] for the group-layout chunk
     *,
     n_pad: int,
 ):
@@ -164,20 +154,11 @@ def _expand_kernel(
 
     def dma(buf_slot, row0):
         row0 = jnp.minimum(row0, max_start)
-        row0 = pl.multiple_of(row0, WINDOW)
+        row0 = pl.multiple_of(row0, ALIGN)
         return pltpu.make_async_copy(
             vals_hbm.at[:, pl.ds(row0, WINDOW)],
             vals_buf.at[buf_slot],
             sems.at[buf_slot],
-        )
-
-    def dma_g(buf_slot, row0):
-        row0 = jnp.minimum(row0, max_start)
-        row0 = pl.multiple_of(row0, WINDOW)
-        return pltpu.make_async_copy(
-            cumg_hbm.at[:, pl.ds(row0, WINDOW)],
-            cumg_buf.at[buf_slot],
-            gsems.at[buf_slot],
         )
 
     # Windows are live iff their first slot is below the live total;
@@ -187,12 +168,10 @@ def _expand_kernel(
     @pl.when((b == 0) & live_w)
     def _():
         dma(0, sw_ref[0]).start()
-        dma_g(0, sw_ref[0]).start()
 
     @pl.when((b + 1 < nb) & ((b + 1) * jnp.int32(WINDOW) < total))
     def _():
         dma(1 - slot, sw_ref[b + 1]).start()
-        dma_g(1 - slot, sw_ref[b + 1]).start()
 
     @pl.when(jnp.logical_not(live_w))
     def _():
@@ -203,27 +182,27 @@ def _expand_kernel(
     @pl.when(live_w)
     def _():
         dma(slot, sw_ref[b]).wait()
-        dma_g(slot, sw_ref[b]).wait()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
         j = b * jnp.int32(WINDOW) + lane
         j_eff = jnp.maximum(jnp.minimum(j, total - 1), 0)  # [1, W]
 
-        def process_chunk(vbuf, gbuf, searching, acc):
+        def process_chunk(vbuf, searching, acc, nsrc):
             # `searching` is an i32 0/1 mask: Mosaic cannot carry i1
             # vectors through `lax.while_loop` (scf.yield legalization
             # fails on vpad'd i1).
-            cnt = _count_two_level(vbuf, gbuf, j_eff)
-            found_here = (searching > 0) & (cnt < WINDOW)
-            gathered = _gather_groups(vbuf, cnt, found_here)
+            cnt = _count_blocked(vbuf, j_eff, nsrc)
+            covered = nsrc * jnp.int32(GROUP)
+            found_here = (searching > 0) & (cnt < covered)
+            gathered = _gather_groups(vbuf, cnt, found_here, nsrc)
             acc = acc + gathered  # unfound lanes contribute 0
-            searching = jnp.where(cnt >= WINDOW, searching, 0)
+            searching = jnp.where(cnt >= covered, searching, 0)
             return searching, acc
 
         searching0 = jnp.ones((1, WINDOW), jnp.int32)
         acc0 = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
         searching1, acc1 = process_chunk(
-            vals_buf[slot], cumg_buf[slot], searching0, acc0
+            vals_buf[slot], searching0, acc0, nsrc_ref[b]
         )
 
         # Rare slow path: the window's span exceeds one chunk (long culled
@@ -238,13 +217,10 @@ def _expand_kernel(
             c, searching, acc = carry
             row0 = sw_ref[b] + c * jnp.int32(WINDOW)
             d = dma(slot, row0)
-            dg = dma_g(slot, row0)
             d.start()
-            dg.start()
             d.wait()
-            dg.wait()
             searching, acc = process_chunk(
-                vals_buf[slot], cumg_buf[slot], searching, acc
+                vals_buf[slot], searching, acc, jnp.int32(NBLOCKS)
             )
             return c + 1, searching, acc
 
@@ -287,42 +263,34 @@ def expand_rows(packed_cols, counts, capacity: int):
     cum_pad = jnp.pad(cum, (0, pad), constant_values=_HUGE)
     vals = jnp.stack(rows + [cum_pad], axis=0)  # [NUM_ROWS, N_pad]
 
-    # Per-chunk group layout for the kernel's two-level count:
-    # cumg[k, 512c + g] = cum[512c + 8g + k] for g < 64; lanes 64-511 of
-    # each chunk hold _HUGE.  Built here with XLA reshapes (in-kernel shape
-    # casts fail the server-side Mosaic compiler).
-    nchunks = n_pad // WINDOW
-    cum_g = cum_pad.reshape(nchunks, WINDOW // GROUP_OF, GROUP_OF)
-    cum_g = cum_g.transpose(0, 2, 1)  # [C, 8, 64]
-    cum_g = jnp.pad(
-        cum_g,
-        ((0, 0), (0, 0), (0, WINDOW - WINDOW // GROUP_OF)),
-        constant_values=_HUGE,
-    )  # [C, 8, 512]
-    cumg = cum_g.transpose(1, 0, 2).reshape(GROUP_ROWS, n_pad)
-
-    # First source row per window, aligned down to the chunk size.  Windows
-    # past the live total clamp their probe so the kernel never scans the
-    # culled tail.
-    j0 = jnp.arange(num_windows, dtype=jnp.int32) * WINDOW
+    # Exact first source row per window via a two-level search (the flat
+    # searchsorted costs ~log2(N) gather rounds per probe; the coarse pass
+    # runs over an N/1024-entry table).  side="right" on integer keys ==
+    # side="left" on key+1.  One extra probe bounds the last window's span.
+    j0 = jnp.arange(num_windows + 1, dtype=jnp.int32) * WINDOW
     j0_eff = jnp.maximum(jnp.minimum(j0, total - 1), 0)
-    sw = jnp.searchsorted(cum_pad, j0_eff, side="right").astype(jnp.int32)
-    sw = (sw // WINDOW) * WINDOW
+    sw_raw = two_level_left_search(cum_pad, j0_eff + 1).astype(jnp.int32)
+    sw = (sw_raw[:-1] // ALIGN) * ALIGN
+    # In-bounds clamp HERE, not (only) in the kernel: the kernel's DMA clamp
+    # would shift the chunk's data relative to sw without updating nsrc,
+    # breaking the span bound (found empirically: tail windows near n_pad).
+    # n_pad - WINDOW is 128-aligned, so alignment is preserved.
+    sw = jnp.minimum(sw, n_pad - WINDOW)
+    # Source blocks that can hold this window's covering rows: misalignment
+    # + span, over-approximated by one row (sw_raw[b+1] >= last covering
+    # row), capped at the chunk's 4 blocks (beyond -> refill path).
+    span_ub = sw_raw[1:] - sw + 1
+    nsrc = jnp.clip(-(-span_ub // GROUP), 1, NBLOCKS).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_windows,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (NUM_ROWS, WINDOW), lambda b, *_: (0, b), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, WINDOW), jnp.int32),
-            pltpu.VMEM((2, GROUP_ROWS, WINDOW), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -331,7 +299,7 @@ def expand_rows(packed_cols, counts, capacity: int):
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, num_windows * WINDOW), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
-    )(sw, total.reshape(1), vals, cumg)
+    )(sw, nsrc, total.reshape(1), vals)
 
     cols = [out[i, :capacity] for i in range(len(packed_cols))]
     return cols, total

@@ -27,41 +27,7 @@ from ..core.config import SENTINEL, RenderConfig
 from .keygen import SortElements
 
 
-CHUNK = 1024  # coarse-level granularity of the two-level search
-
-
-def _two_level_left_search(tile, probes):
-    """Vectorized `searchsorted(tile, probes, side="left")` in two levels.
-
-    A flat `jnp.searchsorted` over the full element list costs
-    log2(E) ~ 24 gather rounds over the 14M-row array per probe set
-    (~3.1 ms measured at garden scale).  The tile array is uint32-sorted, so
-    the search decomposes: a cheap coarse search over the per-CHUNK last
-    values (a ~14K-entry table — small-table gathers are ~20x cheaper,
-    docs/PERFORMANCE.md) locates the covering chunk, then log2(CHUNK) = 10
-    bounded bisection rounds on the big array finish the job.  ~0.6 ms at
-    garden scale, exact by construction.
-    """
-    e = tile.shape[0]
-    nc = -(-e // CHUNK)
-    last_idx = jnp.minimum(
-        (jnp.arange(nc, dtype=jnp.int32) + 1) * CHUNK - 1, e - 1
-    )
-    lasts = jnp.take(tile, last_idx)
-    chunk = jnp.searchsorted(
-        lasts, probes, side="left", method="scan_unrolled"
-    ).astype(jnp.int32)
-
-    lo = jnp.minimum(chunk * CHUNK, e)
-    hi = jnp.minimum(lo + CHUNK, e)
-    for _ in range(CHUNK.bit_length()):  # 11 rounds: 1024 -> ... -> 1 -> 0
-        alive = lo < hi
-        mid = (lo + hi) // 2
-        v = jnp.take(tile, jnp.clip(mid, 0, e - 1))
-        pred = v < probes
-        lo = jnp.where(alive & pred, mid + 1, lo)
-        hi = jnp.where(alive & jnp.logical_not(pred), mid, hi)
-    return lo
+from .search import two_level_left_search
 
 
 def find_ranges(elements: SortElements, num_tiles: int):
@@ -74,7 +40,7 @@ def find_ranges(elements: SortElements, num_tiles: int):
     # searchsorted(t, "right") == searchsorted(t + 1, "left"); probing
     # 0..num_tiles once yields starts = ext[:-1] and ends = ext[1:].
     probes = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
-    ext = _two_level_left_search(tile, probes)
+    ext = two_level_left_search(tile, probes)
     starts = ext[:num_tiles].astype(jnp.uint32)
     ends = ext[1:].astype(jnp.uint32)
     empty = starts == ends
