@@ -97,6 +97,7 @@ def test_slab_overflow_drops_not_corrupts():
         tile_rows_per_device=plan.tile_rows_per_device,
         local_capacity=plan.local_capacity,
         slab_capacity=64,  # far below the hot tile's element count
+        strip_capacity=plan.strip_capacity,
     )
     fn = dist_mod.make_distributed_render(mesh, CONFIG, tiny)
     view, proj = cam.matrices()
@@ -155,6 +156,8 @@ def test_hot_tile_exceeding_slab_renders_without_drops():
         tile_rows_per_device=plan.tile_rows_per_device,
         local_capacity=plan.local_capacity,
         slab_capacity=slab,
+        # keep the full-strip window: this test isolates SLAB overflow
+        strip_capacity=plan.strip_capacity,
     )
     fn = dist_mod.make_distributed_render(mesh, CONFIG, tiny, return_stats=True)
     img, live = fn(

@@ -1,12 +1,19 @@
-"""Two-level vectorized binary search over large sorted device arrays.
+"""Two-level vectorized search over large sorted device arrays.
 
 A flat `jnp.searchsorted` over an N-row array costs log2(N) (~24 at garden
-scale) gather rounds per probe set, and XLA row-gathers are issue-bound
-(~6 ns/row regardless of contiguity, docs/PERFORMANCE.md).  Sorted data
-decomposes the search: a coarse pass over the per-CHUNK last values (a
-~N/1024-entry table — small-table gathers are ~20x cheaper) locates the
-covering chunk, then log2(CHUNK) = 11 bounded bisection rounds on the big
-array finish the job.  Exact by construction.
+scale) DEPENDENT gather rounds per probe set; on this stack each round pays
+a fixed fused-loop latency, so the search is round-latency-bound (~0.2-0.3
+ms/round -> 4-7 ms at garden scale) regardless of probe count.  Sorted data
+admits a constant-depth formulation instead:
+
+  1. coarse: position's chunk = #{chunks whose LAST value < probe} — one
+     fused broadcast-compare reduce over the [num_chunks] last-values table
+     (~N/1024 x P lane-ops, VPU-bound, no dependent rounds);
+  2. fine: gather the single covering chunk's row [P, CHUNK] and count
+     values < probe within it (sorted order makes exactly one chunk
+     partial: chunks before it are wholly < probe, chunks after wholly >=).
+
+Five fused ops total, ~0.5-1 ms at garden scale.  Exact by construction.
 
 Shared by ops/ranges.py (FindRanges) and ops/pallas/expand_kernel.py (the
 per-window source-row probes of the InitSortList expansion).
@@ -20,7 +27,7 @@ CHUNK = 1024  # coarse-level granularity
 
 
 def two_level_left_search(arr, probes):
-    """Vectorized `searchsorted(arr, probes, side="left")` in two levels.
+    """Vectorized `searchsorted(arr, probes, side="left")`, constant depth.
 
     arr:    [N] sorted array (any integer/uint dtype).
     probes: [P] probe values (same comparison domain as arr).
@@ -29,21 +36,23 @@ def two_level_left_search(arr, probes):
     """
     e = arr.shape[0]
     nc = -(-e // CHUNK)
-    last_idx = jnp.minimum(
-        (jnp.arange(nc, dtype=jnp.int32) + 1) * CHUNK - 1, e - 1
-    )
-    lasts = jnp.take(arr, last_idx)
-    chunk = jnp.searchsorted(
-        lasts, probes, side="left", method="scan_unrolled"
-    ).astype(jnp.int32)
+    pad = nc * CHUNK - e
+    # Pad with the dtype maximum so padding never counts as < probe.  (For
+    # signed dtypes the max is still >= every probe by assumption: callers
+    # probe values present in, or adjacent to, the array's value domain.)
+    maxval = jnp.asarray(jnp.iinfo(arr.dtype).max, arr.dtype)
+    arr_pad = jnp.concatenate([arr, jnp.full((pad,), maxval, arr.dtype)])
+    mat = arr_pad.reshape(nc, CHUNK)
+    lasts = mat[:, -1]
 
-    lo = jnp.minimum(chunk * CHUNK, e)
-    hi = jnp.minimum(lo + CHUNK, e)
-    for _ in range(CHUNK.bit_length()):  # 11 rounds: 1024 -> ... -> 1 -> 0
-        alive = lo < hi
-        mid = (lo + hi) // 2
-        v = jnp.take(arr, jnp.clip(mid, 0, e - 1))
-        pred = v < probes
-        lo = jnp.where(alive & pred, mid + 1, lo)
-        hi = jnp.where(alive & jnp.logical_not(pred), mid, hi)
-    return lo
+    # coarse: first chunk not wholly below the probe
+    cstar = jnp.sum(
+        (lasts[:, None] < probes[None, :]).astype(jnp.int32), axis=0
+    )  # [P] in [0, nc]
+    # fine: count within the covering chunk
+    rows = jnp.take(mat, jnp.minimum(cstar, nc - 1), axis=0)  # [P, CHUNK]
+    within = jnp.sum(
+        (rows < probes[:, None]).astype(jnp.int32), axis=1
+    )  # [P]
+    pos = cstar * CHUNK + jnp.where(cstar >= nc, 0, within)
+    return jnp.minimum(pos, e).astype(jnp.int32)

@@ -103,6 +103,7 @@ class DistConfig(NamedTuple):
     tile_rows_per_device: int  # grid_height rows per shard (image sharding)
     local_capacity: int  # keygen capacity per device
     slab_capacity: int  # per-peer exchange capacity
+    strip_capacity: int  # per-phase strip element window (see plan notes)
 
 
 def plan_distribution(
@@ -124,11 +125,22 @@ def plan_distribution(
     # Depth bands spread a device's elements ~evenly over its ndev slabs;
     # slack covers band skew.
     slab_capacity = int(-(-local_capacity // num_devices) * slab_slack)
+    # Per-phase strip window: a device's received elements are ~uniform over
+    # the ndev strips (depth bands randomize tile ownership per device), so
+    # each strip holds ~recv/ndev = ~slab_capacity elements; 2x again for
+    # strip skew.  Sliced per phase so the blend's O(E*P) work covers only
+    # the phase's strip instead of the whole received list (the round-2
+    # scaling bench's dominant overhead).  Tails beyond the window drop
+    # (counted in the stats; same overflow family as slabs).
+    strip_capacity = min(
+        num_devices * slab_capacity, int(slab_capacity * 2 * slab_slack)
+    )
     return DistConfig(
         num_devices=num_devices,
         tile_rows_per_device=config.grid_height // num_devices,
         local_capacity=local_capacity,
         slab_capacity=slab_capacity,
+        strip_capacity=strip_capacity,
     )
 
 
@@ -307,6 +319,45 @@ def make_distributed_render(
             features = None
         ranges = ranges_ops.find_ranges(local_elements, config.num_tiles)
 
+        # Per-phase strip windows: the received list is tile-sorted, so each
+        # strip's elements are one contiguous sub-range.  Slicing the phase's
+        # strip to a static window bounds the blend's O(E*P) work by
+        # strip_capacity instead of the full received list — the round-2
+        # scaling bench's dominant overhead (work-conservation 12% at
+        # ndev=4 came from every phase re-materializing all E elements).
+        e_recv = st.shape[0]
+        strip_cap = min(dist.strip_capacity, e_recv)
+        probes = jnp.arange(ndev + 1, dtype=jnp.uint32) * jnp.uint32(
+            tiles_per_dev
+        )
+        bounds = jnp.searchsorted(st, probes, side="left").astype(jnp.int32)
+        s0_all = jnp.minimum(bounds[:-1], jnp.int32(e_recv - strip_cap))
+        # Window overflow drops the strip's tail (the slab-overflow family;
+        # counted so the scaling bench's exact accounting still balances).
+        dropped = jnp.sum(
+            jnp.maximum(bounds[1:] - s0_all - jnp.int32(strip_cap), 0)
+        )
+
+        def slice_strip(g):
+            s0 = s0_all[g]
+            el = SortElements(
+                tile=lax.dynamic_slice_in_dim(st, s0, strip_cap),
+                depth=lax.dynamic_slice_in_dim(sd, s0, strip_cap),
+                index=lax.dynamic_slice_in_dim(si, s0, strip_cap),
+                count=count,
+            )
+            rng_s = jnp.clip(
+                ranges.astype(jnp.int32) - s0, 0, strip_cap
+            ).astype(jnp.uint32)
+            if features is not None:
+                feat_s = tuple(
+                    lax.dynamic_slice_in_dim(f, s0, strip_cap, 0)
+                    for f in features
+                )
+            else:
+                feat_s = None
+            return el, rng_s, feat_s
+
         # systolic banded blend: phase s blends strip (d - s) mod ndev with
         # the carry from device d-1, then passes the result to d+1.
         perm = [(i, (i + 1) % ndev) for i in range(ndev)]
@@ -315,30 +366,31 @@ def make_distributed_render(
             cc, cl = carry  # [tiles_per_dev, P, 3], [tiles_per_dev, P]
             g = (shard_id - s) % ndev
             tile_base = (g * tiles_per_dev).astype(jnp.int32)
+            el_s, rng_s, feat_s = slice_strip(g)
             if use_pallas_blend:
                 from ..ops.pallas import blend_kernel
 
                 colors, logt = blend_kernel.blend_strip_colors_pallas(
-                    local_elements,
-                    ranges,
+                    el_s,
+                    rng_s,
                     frame_all,
                     strip_config,
                     tile_base=tile_base,
                     carry_color=cc,
                     carry_logt=cl,
-                    features=features,
+                    features=feat_s,
                 )
             else:
                 colors, logt = blend_ops.blend_strip_colors_xla(
-                    local_elements,
-                    ranges,
+                    el_s,
+                    rng_s,
                     frame_all,
                     config,
                     tile_base=tile_base,
                     num_strip_tiles=tiles_per_dev,
                     carry_color=cc,
                     carry_logt=cl,
-                    features=features,
+                    features=feat_s,
                 )
             cc2 = lax.ppermute(colors, SHARD_AXIS, perm)
             cl2 = lax.ppermute(logt, SHARD_AXIS, perm)
@@ -353,7 +405,8 @@ def make_distributed_render(
         # strip d (its own image rows).
         strip = blend_ops.assemble_tile_colors(colors, strip_config)
         if return_stats:
-            return strip, count.astype(jnp.int32).reshape(1)
+            blended = count.astype(jnp.int32) - dropped.astype(jnp.int32)
+            return strip, blended.reshape(1)
         return strip  # [strip_height, W, 3]
 
     table_spec = GaussianTable(
