@@ -150,7 +150,7 @@ def main():
     ap.add_argument("--scene", default="garden30k_1080p", choices=SCENES)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--no-pallas", action="store_true")
-    ap.add_argument("--sort", default="xla", choices=["xla", "radix"])
+    ap.add_argument("--sort", default="xla", choices=["xla", "bitonic"])
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--blend", default="auto",
                     choices=["auto", "tiled", "flat", "capped", "xla"])
@@ -194,8 +194,8 @@ def main():
     config = RenderConfig(
         width=width,
         height=height,
-        sort_algorithm=SortAlgorithm.RADIX
-        if args.sort == "radix"
+        sort_algorithm=SortAlgorithm.BITONIC
+        if args.sort == "bitonic"
         else SortAlgorithm.XLA_SORT,
         # Perf: skip the reference's pow2 rounding of the capacity (only its
         # bitonic backend needs it; nearly halves all per-element costs).

@@ -370,6 +370,25 @@ def main():
         bench("  sub: blend_flat_core (ep)", blendcore_digest, feat_d,
               pranges_d, iters=4)
 
+        def nocond_digest(s, se, rg, fr, c):
+            fr2 = keygen_ops.GaussianFrameData(
+                color_alpha=fr.color_alpha + s,
+                cov2d=fr.cov2d,
+                cov_inv=fr.cov_inv,
+                screen_pos=fr.screen_pos,
+            )
+            img, _t, valid, fits = capped_ops._capped_core(
+                se, rg, fr2, config, c, ep
+            )
+            return (
+                jnp.sum(img[::97, ::97, 0])
+                + jnp.sum(valid.astype(jnp.float32))
+                + fits.astype(jnp.float32)
+            )
+
+        bench("  sub: capped core (no fallback cond)", nocond_digest,
+              sorted_elems, ranges, frame, caps, iters=4)
+
     if not args.skip_blend:
         def blend_digest(s, se, rg, fr):
             fr2 = keygen_ops.GaussianFrameData(

@@ -115,7 +115,7 @@ def test_device_report_and_suitability():
     assert not check_suitability(100)
 
 
-def test_radix_tier_dispatch(rng):
+def test_auto_tier_dispatch(rng):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -123,7 +123,7 @@ def test_radix_tier_dispatch(rng):
     from vk3dgaussiansplatting_tpu.ops.keygen import SortElements
     from vk3dgaussiansplatting_tpu.ops.sort import sort_elements, sort_elements_xla
 
-    cfg = RenderConfig(width=128, height=128, sort_algorithm=SortAlgorithm.RADIX)
+    cfg = RenderConfig(width=128, height=128, sort_algorithm=SortAlgorithm.AUTO)
     e = 1024
     el = SortElements(
         tile=jnp.asarray(rng.integers(0, 64, e).astype(np.uint32)),

@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--out", help="write last frame PNG here")
     p.add_argument(
-        "--sort", default="auto", choices=["auto", "xla", "radix", "bitonic"],
+        "--sort", default="auto", choices=["auto", "xla", "bitonic"],
         help="sort algorithm (reference: GPU_SORT_ALGORITHM)",
     )
     p.add_argument(
@@ -93,7 +93,6 @@ def main(argv=None) -> int:
     sort = {
         "auto": SortAlgorithm.AUTO,
         "xla": SortAlgorithm.XLA_SORT,
-        "radix": SortAlgorithm.RADIX,
         "bitonic": SortAlgorithm.BITONIC,
     }[args.sort]
     kwargs = {}

@@ -29,15 +29,22 @@ class SphericalHarmonicsMode(enum.IntEnum):
 class SortAlgorithm(enum.Enum):
     """Sort strategy selection (reference: `GPU_SORT_ALGORITHM`, Renderer.h:33).
 
-    XLA_SORT  — `jax.lax.sort` lexicographic two-key sort (correctness tier).
-    RADIX     — multi-pass LSD radix sort over the used key bits (perf tier).
+    XLA_SORT  — `jax.lax.sort` on the (tile, depth) words + the index as a
+                deterministic third key (order-equal to stable, ~20% faster;
+                argument in ops/sort.py).  The production tier on TPU: the
+                reference's role-equivalent of RadixSort.  There is no
+                Pallas LSD-radix tier on this stack BY MEASUREMENT — every
+                radix formulation (per-run scatter stores, crossbar
+                permutes, chunked merges) prices above lax.sort on the
+                probed v5e primitives (85 ns / [8,128] crossbar, ~600 ns
+                small-DMA issue, ~6 ns/row gather); the probe table and
+                design-space analysis live in docs/PERFORMANCE.md.
     BITONIC   — bitonic merge network (the reference's alternative backend,
                 BitonicMergeSort.{h,cpp}); requires power-of-two capacity.
-    AUTO      — RADIX on TPU, XLA_SORT elsewhere.
+    AUTO      — XLA_SORT everywhere (kept for config compatibility).
     """
 
     XLA_SORT = "xla_sort"
-    RADIX = "radix"
     BITONIC = "bitonic"
     AUTO = "auto"
 
@@ -96,7 +103,7 @@ class RenderConfig:
     # ceilPow2(numGaussians + 64*16*numTiles) (Renderer.cpp:725).
     capacity_slack_per_tile: int = 64 * 16
     # Pad capacity to the next power of two like the reference (needed by its
-    # bitonic path; kept for behavioural parity, optional for radix).
+    # bitonic path; kept for behavioural parity, optional otherwise).
     capacity_pow_two: bool = True
     # Element-expansion strategy in keygen:
     #   "pallas"  — windowed Pallas kernel (ops/pallas/expand_kernel.py):

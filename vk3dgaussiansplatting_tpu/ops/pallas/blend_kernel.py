@@ -66,7 +66,7 @@ def pack_feature_table(frame: GaussianFrameData):
     .at[:, 1].multiply would lower to an XLA scatter, banned in the frame
     path)."""
     cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
-    return jnp.concatenate(
+    table = jnp.concatenate(
         [
             frame.screen_pos,  # gx, gy
             cov_scaled,  # a' = -a/2, b' = -b, c' = -c/2
@@ -75,6 +75,11 @@ def pack_feature_table(frame: GaussianFrameData):
         ],
         axis=-1,
     )  # [N, 10]
+    # Force ONE materialized buffer: without the barrier XLA can fuse the
+    # concatenate into the downstream row-gather, turning it into a
+    # gather-per-source-operand (~2x the per-row cost at 6M rows, measured
+    # 2026-08-21: 126.7 ms real pipeline vs 65.6 ms materialized probe).
+    return jax.lax.optimization_barrier(table)
 
 
 def features_from_rows(rows, live, batch_k: int):

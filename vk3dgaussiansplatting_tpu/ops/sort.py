@@ -9,13 +9,17 @@ TPUs have no native u64, so the key is kept as its two u32 words throughout
 (the reference's own shaders also handle it word-split,
 RadixSortCount.comp:60-73).  Two tiers:
 
-  * XLA_SORT — `jax.lax.sort` with num_keys=2 (lexicographic (tile, depth),
-    stable).  Stability makes the result identical to the radix order with the
-    deterministic allocation of ops.keygen.  Correctness tier, runs anywhere.
-  * RADIX — Pallas multi-pass radix sort over only the *used* key bits
-    (32 depth bits + ceil(log2(numTiles)) tile bits, mirroring
-    `radixSortNumSortBits = roundUp4(32 + minNumBits(numTiles-1))`,
-    RadixSort.cpp:203-204).  Performance tier (ops/pallas/radix_kernel.py).
+  * XLA_SORT — `jax.lax.sort` with the u16-tile / 3-key-unstable tricks
+    (sort_elements_xla below) — the production tier on every backend, and
+    the role-equivalent of the reference's RadixSort.  A Pallas LSD radix
+    over the used key bits (`radixSortNumSortBits = roundUp4(32 +
+    minNumBits(numTiles-1))`, RadixSort.cpp:203-204) was designed and
+    COSTED OUT on the v5e probe table: per-run scatter stores are
+    DMA-issue-bound (~600 ns each), in-VMEM permutes crossbar-bound
+    (85 ns / [8,128]), merge/bucket alternatives bottom out at the same
+    element-granular permutation floor lax.sort already sits on
+    (~3 ns/element).  The full design-space table is in
+    docs/PERFORMANCE.md; revisit if Mosaic grows faster lane permutes.
 
 Sentinel slots (0xFFFFFFFF everywhere) sort to the end, exactly like the
 reference's cleared-buffer padding (Subrenderer.cpp:42-46).
@@ -80,17 +84,10 @@ def sort_elements(
 ) -> SortElements:
     """Dispatch on the configured sort algorithm."""
     algo = config.sort_algorithm
-    if algo == SortAlgorithm.AUTO:
-        on_tpu = jax.default_backend() == "tpu"
-        algo = SortAlgorithm.RADIX if on_tpu else SortAlgorithm.XLA_SORT
-    if algo == SortAlgorithm.XLA_SORT:
+    if algo in (SortAlgorithm.AUTO, SortAlgorithm.XLA_SORT):
         return sort_elements_xla(elements, num_tiles=config.num_tiles)
     if algo == SortAlgorithm.BITONIC:
         from .bitonic import sort_elements_bitonic
 
         return sort_elements_bitonic(elements)
-    if algo == SortAlgorithm.RADIX:
-        from .pallas import radix_kernel
-
-        return radix_kernel.sort_elements_radix(elements, config)
     raise ValueError(f"unknown sort algorithm {algo}")
