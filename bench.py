@@ -167,6 +167,13 @@ def main():
                          "a tighter value shrinks every per-slot pass — "
                          "results stay exact as long as nothing overflows, "
                          "which the live-element log confirms)")
+    ap.add_argument("--scene-gen", default="cloud",
+                    choices=["cloud", "surface"],
+                    help="procedural stand-in generator: random cloud "
+                         "(calibrated default) or surface-structured "
+                         "(clustered tangential disks, bimodal opacity — "
+                         "closer saturation/overlap statistics to real "
+                         "captures)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU platform is "
                          "the default even without hardware flags; local "
@@ -179,7 +186,10 @@ def main():
     from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
     from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
     from vk3dgaussiansplatting_tpu.render.camera import Camera
-    from vk3dgaussiansplatting_tpu.scenes.synthetic import procedural_cloud_table
+    from vk3dgaussiansplatting_tpu.scenes.synthetic import (
+        procedural_cloud_table,
+        procedural_surface_table,
+    )
 
     n_gauss, width, height, target_elems = SCENES[args.scene]
     on_tpu = jax.default_backend() == "tpu"
@@ -212,9 +222,12 @@ def main():
     log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
         f"target_elems={target_elems} blend={blend_mode} sort={args.sort}")
     t0 = time.time()
-    host_table = procedural_cloud_table(
-        n_gauss, seed=args.seed, opacity_mode=args.opacity_mode
-    )
+    if args.scene_gen == "surface":
+        host_table = procedural_surface_table(n_gauss, seed=args.seed)
+    else:
+        host_table = procedural_cloud_table(
+            n_gauss, seed=args.seed, opacity_mode=args.opacity_mode
+        )
     cam = Camera(width / height)
     cam.set_position((0.0, 0.0, 2.0))
     cam.set_rotation(math.pi, 0.0)
@@ -312,7 +325,14 @@ def main():
             if first[0]:
                 log(f"  [compile] ranges done t+{time.time()-t0:.0f}s")
             if capped_mode:
-                img, caps_cell[0], _ok = bl(el, r, fr, caps_cell[0])
+                # Split-phase dispatch: the dominant feature gather runs as
+                # its own program with parameter operands (ops/capped.py
+                # split-phase rationale).
+                from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
+
+                img, caps_cell[0], _ok = capped_ops.blend_tiles_capped_split(
+                    el, r, fr, config, caps_cell[0]
+                )
             else:
                 img = bl(el, r, fr)
             out = dig(img, el.count)

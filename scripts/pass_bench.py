@@ -67,7 +67,10 @@ def main():
     from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
     from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel
     from vk3dgaussiansplatting_tpu.render.camera import Camera
-    from vk3dgaussiansplatting_tpu.scenes.synthetic import procedural_cloud_table
+    from vk3dgaussiansplatting_tpu.scenes.synthetic import (
+        procedural_cloud_table,
+        procedural_surface_table,
+    )
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="train7k_720p", choices=SCENES)
@@ -83,6 +86,8 @@ def main():
                     help="blend_batch_k override (A/B the blend batch width)")
     ap.add_argument("--cap", type=int, default=0,
                     help="also time the capped blend path at this cap")
+    ap.add_argument("--scene-gen", default="cloud",
+                    choices=["cloud", "surface"])
     ap.add_argument("--keygen-diag", action="store_true",
                     help="sub-time the expansion kernel on the real cull "
                          "pattern (keygen cost split)")
@@ -101,7 +106,10 @@ def main():
     capacity = config.sort_capacity(n_gauss)
     print(f"{args.scene}: n={n_gauss} capacity={capacity} tiles={config.num_tiles}", flush=True)
 
-    host = procedural_cloud_table(n_gauss, seed=42)
+    if args.scene_gen == "surface":
+        host = procedural_surface_table(n_gauss, seed=42)
+    else:
+        host = procedural_cloud_table(n_gauss, seed=42)
     cam = Camera(width / height)
     cam.set_position((0.0, 0.0, 2.0))
     cam.set_rotation(math.pi, 0.0)
@@ -169,6 +177,27 @@ def main():
         bench("  sub: expansion (real counts)", expand_digest, counts_r,
               iters=6)
         # (projection-only cost reads off as keygen - expansion.)
+
+        # span statistics: what the crossbar-skip sees on this pattern
+        cnp = np.cumsum(np.asarray(counts_r))
+        total_r = int(cnp[-1])
+        nw = -(-capacity // 512)
+        j0 = np.arange(nw + 1) * 512
+        j0e = np.clip(j0, 0, max(total_r - 1, 0))
+        sw_raw = np.searchsorted(cnp, j0e + 1, side="left")
+        sw = (sw_raw[:-1] // 128) * 128
+        span = sw_raw[1:] - sw + 1
+        livew = j0[:-1] < total_r
+        nsrc = np.clip(-(-span // 128), 1, 4)[livew]
+        refill = (span[livew] > 512).mean()
+        hist = [(nsrc == k).mean() for k in (1, 2, 3, 4)]
+        print(
+            f"  span stats (live windows): nsrc 1/2/3/4 = "
+            f"{hist[0]:.2f}/{hist[1]:.2f}/{hist[2]:.2f}/{hist[3]:.2f}, "
+            f"refill frac = {refill:.3f}, mean span = "
+            f"{span[livew].mean():.0f}",
+            flush=True,
+        )
 
     elements, frame = jax.jit(
         lambda t: keygen_ops.generate_sort_elements(t, vj, pj, cj, config, capacity)
@@ -369,6 +398,69 @@ def main():
 
         bench("  sub: blend_flat_core (ep)", blendcore_digest, feat_d,
               pranges_d, iters=4)
+
+        # isolation matrix for the gather anomaly (real 141 ms vs 66 ms
+        # probe at identical shapes): values vs in-graph table build
+        n_table = int(frame.color_alpha.shape[0])
+        rng_g = np.random.default_rng(5)
+        rtable = jnp.asarray(
+            rng_g.normal(size=(n_table, 10)).astype(np.float32)
+        )
+        ridx = jnp.asarray(
+            rng_g.integers(0, n_table, ep).astype(np.int32)
+        )
+
+        def ga_digest(s, rtable, gid):
+            g = jnp.where(gid == jnp.uint32(0xFFFFFFFF), 0, gid).astype(
+                jnp.int32
+            )
+            rows = jnp.take(rtable + s, g, axis=0, mode="clip")
+            return jnp.sum(rows[:8, :])
+
+        bench("  sub: gather REAL gids, random table", ga_digest, rtable,
+              gid_d, iters=4)
+
+        def gb_digest(s, fr, ridx):
+            fr2 = keygen_ops.GaussianFrameData(
+                color_alpha=fr.color_alpha + s,
+                cov2d=fr.cov2d,
+                cov_inv=fr.cov_inv,
+                screen_pos=fr.screen_pos,
+            )
+            rows = jnp.take(
+                bk.pack_feature_table(fr2), ridx, axis=0, mode="clip"
+            )
+            return jnp.sum(rows[:8, :])
+
+        bench("  sub: gather random idx, in-graph table", gb_digest, frame,
+              ridx, iters=4)
+
+        def gc_digest(s, rtable, gid):
+            g = jnp.where(gid == jnp.uint32(0xFFFFFFFF), 0, gid).astype(
+                jnp.int32
+            )
+            rows = jnp.take(rtable, g, axis=0, mode="clip")
+            return jnp.sum(rows[:8, :]) + s * 0
+
+        bench("  sub: gather REAL gids (in-graph mask), PARAM table",
+              gc_digest, rtable, gid_d, iters=4)
+
+        def gf_digest(s, rtable, ridx):
+            rows = jnp.take(rtable, ridx, axis=0, mode="clip")
+            return jnp.sum(rows[:8, :]) + s * 0
+
+        bench("  sub: gather PARAM idx, PARAM table (probe repro)",
+              gf_digest, rtable, ridx, iters=4)
+
+        gid_i32 = jax.block_until_ready(
+            jax.jit(
+                lambda gid: jnp.where(
+                    gid == jnp.uint32(0xFFFFFFFF), 0, gid
+                ).astype(jnp.int32)
+            )(gid_d)
+        )
+        bench("  sub: gather PARAM real-gid i32, PARAM table",
+              gf_digest, rtable, gid_i32, iters=4)
 
         def nocond_digest(s, se, rg, fr, c):
             fr2 = keygen_ops.GaussianFrameData(

@@ -80,5 +80,33 @@ def main():
           jnp.asarray(idx_e))
 
 
+def main_pressure():
+    """Same case-a gather, but with ~3.5 GB of resident HBM allocated first
+    (the pass_bench process's live-set) — isolates memory-pressure effects."""
+    print("device:", jax.devices()[0], flush=True)
+    rng = np.random.default_rng(0)
+    ballast = [
+        jax.device_put(jnp.zeros((14_190_624,), jnp.uint32))
+        for _ in range(24)
+    ]  # ~1.4 GB
+    ballast.append(jax.device_put(jnp.zeros((5_834_784, 48), jnp.float32)))
+    ballast.append(jax.device_put(jnp.zeros((5_834_784, 48), jnp.float32)))
+    jax.block_until_ready(ballast[-1])
+    table = jnp.asarray(rng.normal(size=(N, 10)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, EP).astype(np.int32))
+
+    def g(s, table, idx):
+        r = jnp.take(table, idx, axis=0, mode="clip")
+        return jnp.sum(r[:8, :]) + s * 0
+
+    bench("a-pressure. uniform random + 3.5 GB ballast", g, table, idx)
+    del ballast
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--pressure" in _sys.argv:
+        main_pressure()
+    else:
+        main()

@@ -230,3 +230,23 @@ def test_temporal_caps_decay():
     assert bool(ok)
     # ranges are ~3 elements -> caps halve toward the base
     assert int(jnp.max(caps2)) <= 32
+
+
+def test_split_phase_matches_monolithic():
+    """The three-program split path must reproduce the monolithic temporal
+    path (identical caps updates, ok flag, and image)."""
+    config = dataclasses.replace(BASE, blend_depth_cap=8, blend_cap_max=64)
+    table = _stacked_table(40, opacity=0.01)
+    elements, ranges, frame = _prepare(table, config)
+    caps_m = capped_ops.init_caps(config)
+    caps_s = capped_ops.init_caps(config)
+    for _ in range(3):
+        img_m, caps_m, ok_m = capped_ops.blend_tiles_capped_temporal(
+            elements, ranges, frame, config, caps_m
+        )
+        img_s, caps_s, ok_s = capped_ops.blend_tiles_capped_split(
+            elements, ranges, frame, config, caps_s
+        )
+        assert bool(ok_m) == bool(ok_s)
+        np.testing.assert_array_equal(np.asarray(caps_m), np.asarray(caps_s))
+        np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_s))

@@ -217,6 +217,14 @@ def load_gaussians(path: str | os.PathLike, *, morton_sort: bool = True):
 
     Equivalent of ResourceManager::loadGaussians (ResourceManager.cpp:167-300):
     parse columns, apply activations, Morton-sort.
+
+    Performance note (TPU): the Morton order exists for GPU cache coherency;
+    on TPU it makes the post-sort feature gather's indices partially
+    depth-sorted, which XLA's gather runs ~2x slower than decorrelated
+    indices (docs/PERFORMANCE.md).  `morton_sort=False` keeps file order;
+    callers chasing frame time can additionally shuffle the table — the
+    gaussian order is semantically free (it only breaks exact (tile, depth)
+    ties, which the reference leaves nondeterministic).
     """
     from ..models.gaussians import from_raw_ply_columns
     from ..native import runtime as native_runtime

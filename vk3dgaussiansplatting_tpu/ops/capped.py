@@ -255,3 +255,124 @@ def init_caps(config: RenderConfig):
     """Initial per-tile caps for the temporal policy."""
     assert config.blend_depth_cap > 0
     return jnp.full((config.num_tiles,), config.blend_depth_cap, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Split-phase temporal path (chained-dispatch tier).
+#
+# XLA's TPU row-gather runs ~2x slower when its operands are in-graph
+# intermediates than when they are program PARAMETERS (measured 2026-08-21,
+# scripts/pass_bench.py isolation matrix: 140 ms vs 72 ms at 6.27M rows from
+# a [5.8M, 10] table — an operand-layout effect; an optimization_barrier
+# does not recover it).  The monolithic blend_tiles_capped_temporal
+# necessarily computes the feature table and packed indices in-graph; this
+# split runs the dominant gather in its own program with both operands as
+# parameters.  bench.py's chained dispatch (which already runs per-pass
+# programs) uses these three phases; the monolithic form remains for
+# single-program callers.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
+    """Phase 1: packed layout + index compaction + feature table.
+
+    Returns (ptable [N,10], gid [ep] i32, live [ep] f32, pstart, counts,
+    r, fits)."""
+    capacity = elements.tile.shape[0]
+    ep = packed_capacity_temporal(config, capacity)
+    wmax = _round_up(config.blend_cap_max, SEG_ALIGN) + SEG_ALIGN
+
+    caps = jnp.clip(caps.astype(jnp.int32), config.blend_depth_cap,
+                    config.blend_cap_max)
+    starts = ranges[:, 0].astype(jnp.int32)
+    ends = ranges[:, 1].astype(jnp.int32)
+    r = ends - starts
+    counts = jnp.minimum(r, caps)
+    off = starts - (starts // SEG_ALIGN) * SEG_ALIGN
+    slabw = -(-(off + counts) // SEG_ALIGN) * SEG_ALIGN
+    pcum = jnp.cumsum(slabw)
+    sbase = (pcum - slabw).astype(jnp.int32)
+    fits = pcum[-1] <= jnp.int32(ep)
+
+    counts128 = slabw // SEG_ALIGN
+    sbase128 = sbase // SEG_ALIGN
+    nchunks = ep // SEG_ALIGN
+    cols, _ = expand_rows([sbase128, counts, off], counts128, nchunks)
+    cs = jnp.arange(nchunks, dtype=jnp.int32)
+    chunk_local = (cs - cols[0]) * jnp.int32(SEG_ALIGN)
+    thr_lo = cols[2] - chunk_local
+    thr_hi = cols[2] + cols[1] - chunk_local
+    lane = jnp.arange(SEG_ALIGN, dtype=jnp.int32)
+    seg_live = (
+        (lane[None, :] >= thr_lo[:, None]) & (lane[None, :] < thr_hi[:, None])
+    ).reshape(ep)
+
+    gid_raw = compact_runs(elements.index, starts, sbase, ep, wmax)
+    live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
+    gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
+    ptable = blend_kernel.pack_feature_table(frame)
+    pstart = sbase + off
+    return ptable, gid, live.astype(jnp.float32), pstart, counts, r, fits
+
+
+@functools.partial(jax.jit, static_argnames=("bk",))
+def capped_gather(ptable, gid, live, bk: int):
+    """Phase 2: THE dominant row-gather, with parameter operands."""
+    rows = jnp.take(ptable, gid, axis=0, mode="clip")
+    return blend_kernel.features_from_rows(rows, live, bk)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "ep"))
+def capped_finish(
+    feat,
+    pstart,
+    counts,
+    r,
+    fits,
+    caps,
+    elements,
+    ranges,
+    frame,
+    config: RenderConfig,
+    ep: int,
+):
+    """Phase 3: blend + validation + caps update + in-graph fallback."""
+    caps = jnp.clip(caps.astype(jnp.int32), config.blend_depth_cap,
+                    config.blend_cap_max)
+    pranges = jnp.stack([pstart, pstart + counts], axis=1).astype(jnp.uint32)
+    img, t_out = blend_kernel.blend_flat_core(
+        feat, pranges, config, ep, with_t=True
+    )
+    t_max = jnp.max(t_out, axis=1)
+    valid = (r <= counts) | (t_max < jnp.float32(config.transmittance_stop))
+    ok = jnp.all(valid) & fits
+
+    esc = jnp.minimum(caps * 2, jnp.int32(config.blend_cap_max))
+    dec = jnp.maximum(caps // 2, jnp.int32(config.blend_depth_cap))
+    caps_next = jnp.where(valid, jnp.where(r * 2 <= caps, dec, caps), esc)
+
+    def full_path(_):
+        return blend_kernel.blend_tiles_pallas_flat(
+            elements, ranges, frame, config
+        )
+
+    img = lax.cond(ok, lambda _: img, full_path, 0)
+    return img, caps_next, ok
+
+
+def blend_tiles_capped_split(elements, ranges, frame, config, caps):
+    """Three-program temporal capped blend (see split-phase rationale).
+
+    Call-compatible with blend_tiles_capped_temporal but dispatches three
+    jitted programs; intermediate arrays stay on device."""
+    capacity = elements.tile.shape[0]
+    ep = packed_capacity_temporal(config, capacity)
+    ptable, gid, live, pstart, counts, r, fits = capped_layout(
+        elements, ranges, frame, config, caps
+    )
+    feat = capped_gather(ptable, gid, live, config.blend_batch_k)
+    return capped_finish(
+        feat, pstart, counts, r, fits, caps, elements, ranges, frame,
+        config, ep,
+    )

@@ -140,12 +140,107 @@ def procedural_cloud_table(
     sh[:, 0, :] = rng.uniform(-0.5, 1.5, size=(n, 3))
     sh[:, 1:, :] = rng.normal(0.0, sh_rest_std, size=(n, NUM_SH_COEFFS - 1, 3))
 
+    # Scramble the table order (seeded, once, host-side).  Gaussian index
+    # order is semantically free, but it sets the post-sort feature
+    # gather's index pattern: within a tile, elements are depth-ordered,
+    # and any index<->depth correlation (the cluster/spread construction
+    # above; Morton order on real captures) makes the gather's indices
+    # partially SORTED — which XLA's TPU gather runs ~2x slower than
+    # decorrelated indices (31 vs 11.5 ns/row fully sorted vs random,
+    # scripts/r3_gather_probe2.py 2026-08-21).  The reference Morton-sorts
+    # for GPU cache coherency (ResourceManager.cpp:283-297); the TPU-first
+    # choice is the opposite.
+    perm = rng.permutation(n)
     return GaussianTable(
-        position=position,
-        scale=scale,
-        rot=rot,
-        sh=sh,
-        opacity=opacity.astype(np.float32),
+        position=position[perm],
+        scale=scale[perm],
+        rot=rot[perm],
+        sh=sh[perm],
+        opacity=opacity.astype(np.float32)[perm],
+    )
+
+
+def procedural_surface_table(
+    num_gaussians: int,
+    *,
+    seed: int = 42,
+    extent: float = 6.0,
+    num_surfaces: int = 400,
+    scale_log_mean: float = -5.0,
+    scale_log_std: float = 0.6,
+    flatten: float = 0.12,
+    sh_rest_std: float = 0.05,
+) -> GaussianTable:
+    """Surface-structured benchmark cloud (round-3 stand-in realism).
+
+    Trained 3DGS captures are not volumetric fog: gaussians concentrate on
+    2D surfaces, oriented tangentially (flattened along the normal), with
+    strongly bimodal opacity (an opaque surface mode plus a sparse
+    translucent haze mode).  That structure is what shapes tile-overlap and
+    saturation statistics — a uniform random cloud under-saturates and
+    spreads depth uniformly.  This generator samples ellipsoidal surface
+    patches: random centers/radii, points ON the surfaces with small normal
+    jitter, each gaussian's shortest axis aligned to the surface normal.
+
+    ~90% of gaussians are surface-opaque (sigmoid(N(3.5, 1.0)), median
+    ~0.97); ~10% are haze (sigmoid(N(-1.0, 1.0))).  Table order is
+    scrambled like procedural_cloud_table (same gather rationale).
+    """
+    rng = np.random.default_rng(seed)
+    n = num_gaussians
+
+    surf = rng.integers(0, num_surfaces, size=n)
+    centers = rng.uniform(-extent, extent, size=(num_surfaces, 3))
+    radii = np.exp(rng.normal(-0.3, 0.7, size=(num_surfaces, 3))) * (
+        extent * 0.25
+    )
+    # points on the unit sphere -> per-surface ellipsoid
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    jitter = 1.0 + rng.normal(0.0, 0.01, size=(n, 1))
+    position = (centers[surf] + u * radii[surf] * jitter).astype(np.float32)
+
+    # orientation: shortest axis along the surface normal.  The ellipsoid
+    # normal at point u is u / radii^2 (up to normalization).
+    normal = u / np.maximum(radii[surf] ** 2, 1e-6)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    # quaternion rotating +z to `normal` (z is made the flattened axis)
+    z = np.array([0.0, 0.0, 1.0])
+    axis = np.cross(np.broadcast_to(z, normal.shape), normal)
+    axis_n = np.linalg.norm(axis, axis=1, keepdims=True)
+    w = 1.0 + normal[:, 2:3]
+    q = np.concatenate([w, axis], axis=1)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    # degenerate (normal ~ -z): fall back to a 180-degree x rotation
+    q = np.where(qn > 1e-6, q / np.maximum(qn, 1e-12),
+                 np.array([[0.0, 1.0, 0.0, 0.0]]))
+    rot = q.astype(np.float32)
+    del axis_n
+
+    scale = np.exp(
+        rng.normal(scale_log_mean, scale_log_std, size=(n, 3))
+    ).astype(np.float32)
+    scale[:, 2] *= np.float32(flatten)  # tangential disks
+
+    haze = rng.random(n) < 0.1
+    logits = np.where(
+        haze,
+        rng.normal(-1.0, 1.0, size=n),
+        rng.normal(3.5, 1.0, size=n),
+    )
+    opacity = (1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
+
+    sh = np.zeros((n, NUM_SH_COEFFS, 3), dtype=np.float32)
+    sh[:, 0, :] = rng.uniform(-0.5, 1.5, size=(n, 3))
+    sh[:, 1:, :] = rng.normal(0.0, sh_rest_std, size=(n, NUM_SH_COEFFS - 1, 3))
+
+    perm = rng.permutation(n)
+    return GaussianTable(
+        position=position[perm],
+        scale=scale[perm],
+        rot=rot[perm],
+        sh=sh[perm],
+        opacity=opacity[perm],
     )
 
 
