@@ -118,30 +118,41 @@ def calibrate_scale(table_host, cam, config, capacity, target_elements):
     )
     vj, pj, cj = jnp.asarray(view), jnp.asarray(proj), jnp.asarray(cam.position)
 
+    # The table rides as an EXPLICIT jit argument: closure-captured device
+    # arrays embed as HLO constants and hang the remote compile helper
+    # (CLAUDE.md; re-observed on the calibration program 2026-08-21).
+    # Also: only the element COUNT is needed, so this runs the count
+    # pipeline (projection + extents + cumsum), not the full keygen with
+    # its expansion kernel — far cheaper to compile and run.
     @jax.jit
-    def count_at(mult):
-        t = GaussianTable(
-            position=base.position,
-            scale=base.scale * mult,
-            rot=base.rot,
-            sh=base.sh,
-            opacity=base.opacity,
+    def count_at(mult, base):
+        from vk3dgaussiansplatting_tpu.render import project as prj
+
+        pos_view = prj.view_transform(base.position, vj)
+        ndc = prj.ndc_position(pos_view, pj)
+        visible = keygen_ops.cull_mask(pos_view, ndc, config)
+        cov2d = prj.compute_cov2d(
+            base.scale * mult, base.rot, pos_view, vj, config
         )
-        el, _ = keygen_ops.generate_sort_elements(t, vj, pj, cj, config, capacity)
-        return el.count
+        sp = prj.screen_space_position(pos_view, pj, config)
+        ext = prj.tile_extents(sp, cov2d, config)
+        w = ext[:, 2] - ext[:, 0]
+        h = ext[:, 3] - ext[:, 1]
+        counts = jnp.where(visible, w * h, 0).astype(jnp.int32)
+        return jnp.minimum(jnp.sum(counts), capacity).astype(jnp.uint32)
 
     lo, hi = 0.05, 20.0
     mult = 1.0
     for _ in range(12):
         mult = math.sqrt(lo * hi)
-        c = int(count_at(jnp.float32(mult)))
+        c = int(count_at(jnp.float32(mult), base))
         if abs(c - target_elements) / target_elements < 0.03:
             break
         if c < target_elements:
             lo = mult
         else:
             hi = mult
-    final = int(count_at(jnp.float32(mult)))
+    final = int(count_at(jnp.float32(mult), base))
     return mult, final
 
 
@@ -268,6 +279,7 @@ def main():
         from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
         caps_cell = [capped_ops.init_caps(config)]
+        ok_cell = [jnp.int32(0), 0]  # device ok-count, frame count
 
     @jax.jit
     def frame_digest_raw(eps, caps):
@@ -330,9 +342,11 @@ def main():
                 # split-phase rationale).
                 from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
-                img, caps_cell[0], _ok = capped_ops.blend_tiles_capped_split(
+                img, caps_cell[0], ok = capped_ops.blend_tiles_capped_split(
                     el, r, fr, config, caps_cell[0]
                 )
+                ok_cell[0] = ok_cell[0] + ok.astype(jnp.int32)
+                ok_cell[1] += 1
             else:
                 img = bl(el, r, fr)
             out = dig(img, el.count)
@@ -369,6 +383,15 @@ def main():
         dispatch[0] = make_chained()
         run(1)
     log(f"compile+first frame in {time.time()-t0:.0f}s")
+    if capped_mode:
+        # Converge the temporal caps before timing (the production steady
+        # state; escalation takes <= log2(cap_max/cap) frames, plus margin
+        # headroom frames — mirrors the reference's 1000-frame warmup,
+        # Renderer.cpp:477-487).
+        for i in range(8):
+            dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
+        ok_warm = int(ok_cell[0])
+        log(f"caps warmup: ok {ok_warm}/{ok_cell[1]} frames")
     t0 = time.perf_counter()
     run(1)
     t1 = time.perf_counter() - t0
@@ -379,6 +402,9 @@ def main():
     baseline = BASELINES_MS[args.scene]
     log(f"t(1)={t1*1e3:.1f}ms t({args.frames+1})={tn*1e3:.1f}ms")
 
+    if capped_mode:
+        ok_n = int(ok_cell[0])
+        log(f"capped fast-path rate: {ok_n}/{ok_cell[1]} frames validated")
     result = {
         "metric": f"{args.scene}_ms_per_frame",
         "value": round(ms_per_frame, 3),

@@ -132,6 +132,14 @@ class RenderConfig:
     # for the temporal policy (escalated tiles + alignment).  The packed
     # size is STATIC, so gather/blend cost scales with this directly.
     packed_slack_per_tile: int = 256
+    # Temporal-caps escalation margin: a saturation-valid tile (r > cap)
+    # keeps escalating until its per-pixel T at the cap is below
+    # transmittance_stop * this factor.  Validity (the exact fallback
+    # decision) stays at transmittance_stop; the margin only gives the
+    # converged caps headroom so small per-frame camera motion cannot flip
+    # marginal tiles invalid (one invalid tile costs a full-blend
+    # fallback frame).
+    cap_escalate_margin: float = 0.1
 
     # ----- derived static quantities --------------------------------------
 

@@ -235,12 +235,22 @@ def blend_tiles_capped_temporal(
     # slots than the tile's true saturation depth, and there is no
     # saturation-based decay to reclaim them); decay tiles whose range
     # shrank below half their cap (monotone-safe: the decayed cap still
-    # covers the full range, so no oscillation).
+    # covers the full range, so no oscillation).  Saturation-valid tiles
+    # keep escalating until T clears the margin (config rationale).
+    t_max = jnp.max(_t, axis=1)
+    margin_ok = t_max < jnp.float32(
+        config.transmittance_stop * config.cap_escalate_margin
+    )
     esc = jnp.minimum(caps * 2, jnp.int32(cap_max))
     dec = jnp.maximum(caps // 2, jnp.int32(base))
+    stay = (r <= caps) | margin_ok
     caps_next = jnp.where(
-        valid, jnp.where(r * 2 <= caps, dec, caps), esc
+        valid & stay, jnp.where(r * 2 <= caps, dec, caps), esc
     )
+    # Packed-budget overflow: escalating further only entrenches the
+    # fallback; shed caps instead so the layout re-fits within a few
+    # frames (brief escalate/decay cycles beat a permanent fallback).
+    caps_next = jnp.where(fits, caps_next, dec)
 
     def full_path(_):
         return blend_kernel.blend_tiles_pallas_flat(
@@ -348,9 +358,20 @@ def capped_finish(
     valid = (r <= counts) | (t_max < jnp.float32(config.transmittance_stop))
     ok = jnp.all(valid) & fits
 
+    # margin-driven escalation (see blend_tiles_capped_temporal / config)
+    margin_ok = t_max < jnp.float32(
+        config.transmittance_stop * config.cap_escalate_margin
+    )
     esc = jnp.minimum(caps * 2, jnp.int32(config.blend_cap_max))
     dec = jnp.maximum(caps // 2, jnp.int32(config.blend_depth_cap))
-    caps_next = jnp.where(valid, jnp.where(r * 2 <= caps, dec, caps), esc)
+    stay = (r <= caps) | margin_ok
+    caps_next = jnp.where(
+        valid & stay, jnp.where(r * 2 <= caps, dec, caps), esc
+    )
+    # Packed-budget overflow: escalating further only entrenches the
+    # fallback; shed caps instead so the layout re-fits within a few
+    # frames (brief escalate/decay cycles beat a permanent fallback).
+    caps_next = jnp.where(fits, caps_next, dec)
 
     def full_path(_):
         return blend_kernel.blend_tiles_pallas_flat(
