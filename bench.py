@@ -279,7 +279,7 @@ def main():
         from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
         caps_cell = [capped_ops.init_caps(config)]
-        ok_cell = [jnp.int32(0), 0]  # device ok-count, frame count
+        ok_cell = [jnp.int32(0), 0, None]  # ok-count, frames, last stats
 
     @jax.jit
     def frame_digest_raw(eps, caps):
@@ -342,11 +342,14 @@ def main():
                 # split-phase rationale).
                 from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
-                img, caps_cell[0], ok = capped_ops.blend_tiles_capped_split(
-                    el, r, fr, config, caps_cell[0]
+                img, caps_cell[0], ok, st = (
+                    capped_ops.blend_tiles_capped_split(
+                        el, r, fr, config, caps_cell[0]
+                    )
                 )
                 ok_cell[0] = ok_cell[0] + ok.astype(jnp.int32)
                 ok_cell[1] += 1
+                ok_cell[2] = st
             else:
                 img = bl(el, r, fr)
             out = dig(img, el.count)
@@ -388,10 +391,15 @@ def main():
         # state; escalation takes <= log2(cap_max/cap) frames, plus margin
         # headroom frames — mirrors the reference's 1000-frame warmup,
         # Renderer.cpp:477-487).
-        for i in range(8):
+        prev = 0
+        for i in range(14):
             dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
-        ok_warm = int(ok_cell[0])
-        log(f"caps warmup: ok {ok_warm}/{ok_cell[1]} frames")
+            cur = int(ok_cell[0])  # per-frame fetch: warmup only
+            st = [int(v) for v in np.asarray(ok_cell[2])] if ok_cell[2] is not None else []
+            log(f"  warmup frame {i}: ok={cur - prev} "
+                f"[n_invalid, fits, packed_end, n_grow]={st}")
+            prev = cur
+        log(f"caps warmup: ok {prev}/{ok_cell[1]} frames")
     t0 = time.perf_counter()
     run(1)
     t1 = time.perf_counter() - t0

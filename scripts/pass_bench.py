@@ -462,6 +462,35 @@ def main():
         bench("  sub: gather PARAM real-gid i32, PARAM table",
               gf_digest, rtable, gid_i32, iters=4)
 
+        def gp_digest(s, rtable, ridx):
+            rows = jnp.take(
+                rtable, ridx, axis=0, mode="promise_in_bounds"
+            )
+            return jnp.sum(rows[:8, :]) + s * 0
+
+        bench("  sub: gather promise_in_bounds", gp_digest, rtable, ridx,
+              iters=4)
+
+        rtable8 = jax.block_until_ready(
+            jax.jit(lambda t: t[:, :8])(rtable)
+        )
+
+        def g8_digest(s, t8, ridx):
+            rows = jnp.take(t8, ridx, axis=0, mode="clip")
+            return jnp.sum(rows[:8, :]) + s * 0
+
+        bench("  sub: gather [N,8] table", g8_digest, rtable8, ridx, iters=4)
+
+        rtable4 = jax.block_until_ready(
+            jax.jit(lambda t: jnp.ascontiguousarray(t[:, :4]))(rtable)
+        )
+
+        def g4_digest(s, t4, ridx):
+            rows = jnp.take(t4, ridx, axis=0, mode="clip")
+            return jnp.sum(rows[:8, :]) + s * 0
+
+        bench("  sub: gather [N,4] table", g4_digest, rtable4, ridx, iters=4)
+
         def nocond_digest(s, se, rg, fr, c):
             fr2 = keygen_ops.GaussianFrameData(
                 color_alpha=fr.color_alpha + s,

@@ -244,7 +244,7 @@ def test_split_phase_matches_monolithic():
         img_m, caps_m, ok_m = capped_ops.blend_tiles_capped_temporal(
             elements, ranges, frame, config, caps_m
         )
-        img_s, caps_s, ok_s = capped_ops.blend_tiles_capped_split(
+        img_s, caps_s, ok_s, _stats = capped_ops.blend_tiles_capped_split(
             elements, ranges, frame, config, caps_s
         )
         assert bool(ok_m) == bool(ok_s)

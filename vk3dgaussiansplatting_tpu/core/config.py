@@ -138,8 +138,23 @@ class RenderConfig:
     # decision) stays at transmittance_stop; the margin only gives the
     # converged caps headroom so small per-frame camera motion cannot flip
     # marginal tiles invalid (one invalid tile costs a full-blend
-    # fallback frame).
-    cap_escalate_margin: float = 0.1
+    # fallback frame).  Margin-driven growth is gentle (+128 per frame vs
+    # the 2x jump for genuinely invalid tiles) so the packed budget
+    # converges instead of overshooting into overflow-decay limit cycles.
+    cap_escalate_margin: float = 0.3
+    # Temporal-caps VALIDATION threshold, as a multiple of
+    # transmittance_stop.  A capped tile passes when every pixel's T at the
+    # cap is below stop * this factor; the dropped tail is therefore
+    # <= stop * factor per pixel (4e-4 default) — ~1/10 of an 8-bit step,
+    # the same error class the reference's own per-pixel early-out
+    # discards (it stops at T < 1e-4 and drops everything after).
+    # Decoupling validation (4x stop) from the escalation target
+    # (0.3x stop) puts a 13x hysteresis band between them, so per-frame
+    # camera motion cannot flip marginal tiles in and out of validity
+    # (1-3 flipping tiles cost a full-blend fallback frame each).  The
+    # blend kernel's in-loop early-out semantics still use
+    # transmittance_stop exactly.  Bound documented in docs/TOLERANCES.md.
+    cap_validation_factor: float = 4.0
 
     # ----- derived static quantities --------------------------------------
 

@@ -107,9 +107,10 @@ def _capped_core(
     caps,
     ep: int,
 ):
-    """Capped blend at per-tile caps; returns (img, t_out, valid, fits).
+    """Capped blend at per-tile caps.
 
-    caps: [num_tiles] i32, each <= config.blend_cap_max.
+    Returns (img, t_out, valid, fits, pcum_end); caps: [num_tiles] i32,
+    each <= config.blend_cap_max.
     """
     capacity = elements.tile.shape[0]
     bk = config.blend_batch_k
@@ -164,10 +165,15 @@ def _capped_core(
         feat, pranges, config, ep, with_t=True
     )
 
-    # Exactness: range fit the cap, or every pixel saturated at the cap.
+    # Validity: range fit the cap, or every pixel saturated at the cap
+    # (threshold = stop * cap_validation_factor; hysteresis rationale in
+    # core/config.py, tail bound in docs/TOLERANCES.md).
     t_max = jnp.max(t_out, axis=1)
-    valid = (r <= counts) | (t_max < jnp.float32(config.transmittance_stop))
-    return img, t_out, valid, fits
+    valid = (r <= counts) | (
+        t_max
+        < jnp.float32(config.transmittance_stop * config.cap_validation_factor)
+    )
+    return img, t_out, valid, fits, pcum[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -184,7 +190,7 @@ def blend_tiles_capped(
     capacity = elements.tile.shape[0]
     ep = packed_capacity(config, capacity)
     caps = jnp.full((config.num_tiles,), cap, jnp.int32)
-    img, _t, valid, fits = _capped_core(
+    img, _t, valid, fits, _pc = _capped_core(
         elements, ranges, frame, config, caps, ep
     )
     ok = jnp.all(valid) & fits
@@ -223,7 +229,7 @@ def blend_tiles_capped_temporal(
     ep = packed_capacity_temporal(config, capacity)
 
     caps = jnp.clip(caps.astype(jnp.int32), base, cap_max)
-    img, _t, valid, fits = _capped_core(
+    img, _t, valid, fits, pcum_end = _capped_core(
         elements, ranges, frame, config, caps, ep
     )
     ok = jnp.all(valid) & fits
@@ -242,15 +248,30 @@ def blend_tiles_capped_temporal(
         config.transmittance_stop * config.cap_escalate_margin
     )
     esc = jnp.minimum(caps * 2, jnp.int32(cap_max))
+    # Margin growth is headroom-gated: once the packed layout approaches
+    # its static budget, stop-valid-but-not-margin-deep tiles simply stay
+    # at their caps (still exact) instead of growing the layout into an
+    # overflow-shed limit cycle (observed: alternating ok frames).
     dec = jnp.maximum(caps // 2, jnp.int32(base))
     stay = (r <= caps) | margin_ok
-    caps_next = jnp.where(
-        valid & stay, jnp.where(r * 2 <= caps, dec, caps), esc
+    # Gate on the PROJECTED layout size: thousands of tiles grow in the
+    # same frame, so gating on the current size alone overshoots the
+    # budget in one step and oscillates through overflow-shedding.
+    n_grow = jnp.sum((valid & jnp.logical_not(stay)).astype(jnp.int32))
+    room = pcum_end + n_grow * jnp.int32(128) <= jnp.int32(int(ep * 0.97))
+    grow = jnp.where(
+        room, jnp.minimum(caps + jnp.int32(128), jnp.int32(cap_max)), caps
     )
-    # Packed-budget overflow: escalating further only entrenches the
-    # fallback; shed caps instead so the layout re-fits within a few
-    # frames (brief escalate/decay cycles beat a permanent fallback).
-    caps_next = jnp.where(fits, caps_next, dec)
+    caps_next = jnp.where(
+        valid,
+        jnp.where(
+            stay, jnp.where(r * 2 <= caps, dec, caps), grow
+        ),
+        esc,
+    )
+    # Packed-budget overflow: shed gently until the layout re-fits.
+    shed = jnp.maximum(caps - jnp.int32(128), jnp.int32(base))
+    caps_next = jnp.where(fits, caps_next, shed)
 
     def full_path(_):
         return blend_kernel.blend_tiles_pallas_flat(
@@ -323,7 +344,10 @@ def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
     ptable = blend_kernel.pack_feature_table(frame)
     pstart = sbase + off
-    return ptable, gid, live.astype(jnp.float32), pstart, counts, r, fits
+    return (
+        ptable, gid, live.astype(jnp.float32), pstart, counts, r, fits,
+        pcum[-1],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("bk",))
@@ -340,6 +364,7 @@ def capped_finish(
     counts,
     r,
     fits,
+    pcum_end,
     caps,
     elements,
     ranges,
@@ -355,7 +380,10 @@ def capped_finish(
         feat, pranges, config, ep, with_t=True
     )
     t_max = jnp.max(t_out, axis=1)
-    valid = (r <= counts) | (t_max < jnp.float32(config.transmittance_stop))
+    valid = (r <= counts) | (
+        t_max
+        < jnp.float32(config.transmittance_stop * config.cap_validation_factor)
+    )
     ok = jnp.all(valid) & fits
 
     # margin-driven escalation (see blend_tiles_capped_temporal / config)
@@ -365,13 +393,25 @@ def capped_finish(
     esc = jnp.minimum(caps * 2, jnp.int32(config.blend_cap_max))
     dec = jnp.maximum(caps // 2, jnp.int32(config.blend_depth_cap))
     stay = (r <= caps) | margin_ok
-    caps_next = jnp.where(
-        valid & stay, jnp.where(r * 2 <= caps, dec, caps), esc
+    n_grow = jnp.sum((valid & jnp.logical_not(stay)).astype(jnp.int32))
+    room = pcum_end + n_grow * jnp.int32(128) <= jnp.int32(int(ep * 0.97))
+    grow = jnp.where(
+        room,
+        jnp.minimum(caps + jnp.int32(128), jnp.int32(config.blend_cap_max)),
+        caps,
     )
-    # Packed-budget overflow: escalating further only entrenches the
-    # fallback; shed caps instead so the layout re-fits within a few
-    # frames (brief escalate/decay cycles beat a permanent fallback).
-    caps_next = jnp.where(fits, caps_next, dec)
+    caps_next = jnp.where(
+        valid,
+        jnp.where(
+            stay, jnp.where(r * 2 <= caps, dec, caps), grow
+        ),
+        esc,
+    )
+    # Packed-budget overflow: shed gently until the layout re-fits.
+    shed = jnp.maximum(
+        caps - jnp.int32(128), jnp.int32(config.blend_depth_cap)
+    )
+    caps_next = jnp.where(fits, caps_next, shed)
 
     def full_path(_):
         return blend_kernel.blend_tiles_pallas_flat(
@@ -379,21 +419,31 @@ def capped_finish(
         )
 
     img = lax.cond(ok, lambda _: img, full_path, 0)
-    return img, caps_next, ok
+    stats = jnp.stack(
+        [
+            jnp.sum(jnp.logical_not(valid).astype(jnp.int32)),
+            fits.astype(jnp.int32),
+            pcum_end.astype(jnp.int32),
+            n_grow,
+        ]
+    )
+    return img, caps_next, ok, stats
 
 
 def blend_tiles_capped_split(elements, ranges, frame, config, caps):
     """Three-program temporal capped blend (see split-phase rationale).
 
-    Call-compatible with blend_tiles_capped_temporal but dispatches three
-    jitted programs; intermediate arrays stay on device."""
+    Like blend_tiles_capped_temporal but dispatches three jitted programs
+    (intermediate arrays stay on device) and additionally returns a
+    diagnostics vector: returns (img, caps_next, ok,
+    [n_invalid, fits, packed_end, n_grow])."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
-    ptable, gid, live, pstart, counts, r, fits = capped_layout(
+    ptable, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(
         elements, ranges, frame, config, caps
     )
     feat = capped_gather(ptable, gid, live, config.blend_batch_k)
     return capped_finish(
-        feat, pstart, counts, r, fits, caps, elements, ranges, frame,
-        config, ep,
+        feat, pstart, counts, r, fits, pcum_end, caps, elements, ranges,
+        frame, config, ep,
     )
