@@ -165,19 +165,24 @@ def test_temporal_caps_converge_and_stay_exact():
     )
 
     caps = capped_ops.init_caps(config)
+    caps_hist = [np.asarray(caps).copy()]
     oks = []
     for _ in range(4):
         img, caps, ok = capped_ops.blend_tiles_capped_temporal(
             elements, ranges, frame, config, caps
         )
         oks.append(bool(ok))
-        # exact every frame, validated or not
+        caps_hist.append(np.asarray(caps).copy())
+        # exact every frame (capped-valid, patched, or fallback)
         q = np.round(np.asarray(img) * 255.0).astype(np.int32)
         qf = np.round(img_full * 255.0).astype(np.int32)
         assert np.abs(q - qf).max() <= 1
-    # ranges (40 elements) exceed base cap 8 but fit cap_max 64:
-    # escalation 8 -> 16 -> 32 -> 64 must converge to a validated frame
-    assert not oks[0]
+    # ranges (40 elements) exceed base cap 8 but fit cap_max 64: the
+    # unsaturated tiles must escalate 8 -> 16 -> 32 -> 64 across frames
+    # (the bounded patch pass keeps even pre-convergence frames cheap and
+    # exact, so `ok` may be True throughout)
+    assert caps_hist[1].max() > caps_hist[0].max()
+    assert caps_hist[-1].max() == 64
     assert oks[-1]
 
 

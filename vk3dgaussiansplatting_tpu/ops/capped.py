@@ -16,11 +16,14 @@ elements *before* the gather:
      tile, ops/pallas/compact_kernel.py:compact_runs), not a row-gather;
   3. blend with the flat kernel on packed ranges, reading back the
      per-pixel outgoing transmittance (kernel row 3);
-  4. exactness validation: a tile is exact iff its range fit its cap OR all
-     its pixels saturated (T < stop) at the cap — T is monotone, so both
-     conditions are decidable from the capped run alone.  If ANY tile fails
-     (or the packed layout overflows), a `lax.cond` falls back to the full
-     uncapped blend within the same program.
+  4. validation: a tile passes iff its range fit its cap OR all its pixels
+     saturated (T < stop * cap_validation_factor) at the cap — T is
+     monotone, so both conditions are decidable from the capped run alone.
+     A handful of failing tiles (camera motion flips 1-3 per frame as
+     gaussians cross tile boundaries) are re-blended at full range by the
+     bounded PATCH PASS and merged in; only frames exceeding the patch
+     budgets (or overflowing the packed layout) fall back to the full
+     uncapped blend — all inside the same program via `lax.cond`.
 
 Two cap policies:
 
@@ -278,7 +281,27 @@ def blend_tiles_capped_temporal(
             elements, ranges, frame, config
         )
 
-    img = lax.cond(ok, lambda _: img, full_path, 0)
+    n_invalid = jnp.sum(jnp.logical_not(valid).astype(jnp.int32))
+    patchable = (
+        fits
+        & (n_invalid <= jnp.int32(PATCH_TILES))
+        & jnp.all(
+            jnp.where(valid, True, r <= jnp.int32(PATCH_WMAX - SEG_ALIGN))
+        )
+    )
+
+    def patch_or_full(_):
+        return lax.cond(
+            patchable,
+            lambda _: _patch_pass(
+                img, valid, elements, ranges, frame, config
+            ),
+            full_path,
+            0,
+        )
+
+    img = lax.cond(ok, lambda _: img, patch_or_full, 0)
+    ok = ok | patchable
     return img, caps_next, ok
 
 
@@ -286,6 +309,83 @@ def init_caps(config: RenderConfig):
     """Initial per-tile caps for the temporal policy."""
     assert config.blend_depth_cap > 0
     return jnp.full((config.num_tiles,), config.blend_depth_cap, jnp.int32)
+
+
+# Bounded patch pass: per-frame camera motion flips a FEW tiles invalid
+# (gaussians crossing tile boundaries change a capped prefix discretely, so
+# no validation hysteresis can absorb it — measured 1-3 flips/frame at
+# garden scale).  Rather than paying the whole-frame full-blend fallback
+# for 1-3 tiles, the patch pass re-blends JUST the invalid tiles with
+# their full ranges and merges them in.  Static budgets: up to PATCH_TILES
+# tiles, each with range <= PATCH_WMAX - 128; frames exceeding either
+# (scene changes, warmup escalation) take the full fallback.
+PATCH_TILES = 16
+PATCH_WMAX = 16384  # per-tile patch window (128-multiple)
+
+
+def _patch_pass(img, valid, elements, ranges, frame, config: RenderConfig):
+    """Re-blend the (<= PATCH_TILES) invalid tiles at full range; returns
+    the merged [H, W, 3] image.  Caller guarantees the budgets hold."""
+    t = config.num_tiles
+    bk = config.blend_batch_k
+    ep_patch = PATCH_TILES * PATCH_WMAX
+
+    score = jnp.where(
+        valid, jnp.int32(-1), jnp.arange(t, dtype=jnp.int32)
+    )
+    tvals = jax.lax.top_k(score, PATCH_TILES)[0]  # invalid tile ids or -1
+    is_real = tvals >= 0
+    t_idx = jnp.maximum(tvals, 0)
+    starts_p = jnp.where(is_real, ranges[t_idx, 0].astype(jnp.int32), 0)
+    ends_p = jnp.where(is_real, ranges[t_idx, 1].astype(jnp.int32), 0)
+    r_p = jnp.maximum(ends_p - starts_p, 0)
+
+    off = starts_p - (starts_p // SEG_ALIGN) * SEG_ALIGN
+    slabw = -(-(off + r_p) // SEG_ALIGN) * SEG_ALIGN
+    pcum = jnp.cumsum(slabw)
+    sbase = (pcum - slabw).astype(jnp.int32)
+
+    gid_raw = compact_runs(
+        elements.index, starts_p, sbase, ep_patch, PATCH_WMAX
+    )
+    # live mask at chunk granularity: 16 slabs only — direct XLA
+    nchunks = ep_patch // SEG_ALIGN
+    chunk = jnp.arange(nchunks, dtype=jnp.int32)
+    slab_of = jnp.searchsorted(
+        (pcum // SEG_ALIGN).astype(jnp.int32), chunk, side="right"
+    ).astype(jnp.int32)
+    slab_of = jnp.minimum(slab_of, PATCH_TILES - 1)
+    chunk_local = (chunk - (sbase // SEG_ALIGN)[slab_of]) * SEG_ALIGN
+    lo = off[slab_of] - chunk_local
+    hi = off[slab_of] + r_p[slab_of] - chunk_local
+    lane = jnp.arange(SEG_ALIGN, dtype=jnp.int32)
+    seg_live = (
+        (lane[None, :] >= lo[:, None]) & (lane[None, :] < hi[:, None])
+    ).reshape(ep_patch)
+    live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
+    gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
+
+    rows = jnp.take(
+        blend_kernel.pack_feature_table(frame), gid, axis=0, mode="clip"
+    )
+    feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
+
+    # tile -> patch-slab mapping as a tiny [T, PATCH_TILES] one-hot
+    onehot = (
+        jnp.arange(t, dtype=jnp.int32)[:, None] == tvals[None, :]
+    ).astype(jnp.int32)
+    pstart_t = onehot @ (sbase + off)
+    count_t = onehot @ r_p
+    pranges = jnp.stack([pstart_t, pstart_t + count_t], axis=1).astype(
+        jnp.uint32
+    )
+    img_p = blend_kernel.blend_flat_core(feat, pranges, config, ep_patch)
+
+    gh, gw, ts = config.grid_height, config.grid_width, config.tile_size
+    vmask = jnp.broadcast_to(
+        valid.reshape(gh, 1, gw, 1), (gh, ts, gw, ts)
+    ).reshape(gh * ts, gw * ts)[: config.height, : config.width]
+    return jnp.where(vmask[:, :, None], img, img_p)
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +518,28 @@ def capped_finish(
             elements, ranges, frame, config
         )
 
-    img = lax.cond(ok, lambda _: img, full_path, 0)
+    # Bounded patch pass for a handful of flipped tiles (see _patch_pass).
+    n_invalid = jnp.sum(jnp.logical_not(valid).astype(jnp.int32))
+    patchable = (
+        fits
+        & (n_invalid <= jnp.int32(PATCH_TILES))
+        & jnp.all(
+            jnp.where(valid, True, r <= jnp.int32(PATCH_WMAX - SEG_ALIGN))
+        )
+    )
+
+    def patch_or_full(_):
+        return lax.cond(
+            patchable,
+            lambda _: _patch_pass(
+                img, valid, elements, ranges, frame, config
+            ),
+            full_path,
+            0,
+        )
+
+    img = lax.cond(ok, lambda _: img, patch_or_full, 0)
+    ok = ok | patchable  # "cheap path" indicator for stats/telemetry
     stats = jnp.stack(
         [
             jnp.sum(jnp.logical_not(valid).astype(jnp.int32)),
