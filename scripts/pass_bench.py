@@ -463,9 +463,7 @@ def main():
               gf_digest, rtable, gid_i32, iters=4)
 
         def gp_digest(s, rtable, ridx):
-            rows = jnp.take(
-                rtable, ridx, axis=0, mode="promise_in_bounds"
-            )
+            rows = rtable.at[ridx].get(mode="promise_in_bounds")
             return jnp.sum(rows[:8, :]) + s * 0
 
         bench("  sub: gather promise_in_bounds", gp_digest, rtable, ridx,
@@ -482,7 +480,7 @@ def main():
         bench("  sub: gather [N,8] table", g8_digest, rtable8, ridx, iters=4)
 
         rtable4 = jax.block_until_ready(
-            jax.jit(lambda t: jnp.ascontiguousarray(t[:, :4]))(rtable)
+            jax.jit(lambda t: t[:, :4] + 0.0)(rtable)
         )
 
         def g4_digest(s, t4, ridx):
@@ -498,7 +496,7 @@ def main():
                 cov_inv=fr.cov_inv,
                 screen_pos=fr.screen_pos,
             )
-            img, _t, valid, fits = capped_ops._capped_core(
+            img, _t, valid, fits, _pc = capped_ops._capped_core(
                 se, rg, fr2, config, c, ep
             )
             return (

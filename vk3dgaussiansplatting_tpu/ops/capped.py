@@ -157,9 +157,12 @@ def _capped_core(
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 
-    rows = jnp.take(
-        blend_kernel.pack_feature_table(frame), gid, axis=0, mode="clip"
-    )  # the one remaining row-gather: ep rows instead of full capacity
+    # The dominant row-gather, split into two width-4 gathers (row-byte
+    # cost scaling, pack_feature_tables2 rationale).
+    ta, tb = blend_kernel.pack_feature_tables2(frame)
+    rows_a = jnp.take(ta, gid, axis=0, mode="clip")
+    rows_b = jnp.take(tb, gid, axis=0, mode="clip")
+    rows = blend_kernel.rows_from_tables2(rows_a, rows_b)
     feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
 
     pstart = sbase + off
@@ -442,18 +445,21 @@ def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
     gid_raw = compact_runs(elements.index, starts, sbase, ep, wmax)
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
-    ptable = blend_kernel.pack_feature_table(frame)
+    ta, tb = blend_kernel.pack_feature_tables2(frame)
     pstart = sbase + off
     return (
-        ptable, gid, live.astype(jnp.float32), pstart, counts, r, fits,
+        ta, tb, gid, live.astype(jnp.float32), pstart, counts, r, fits,
         pcum[-1],
     )
 
 
 @functools.partial(jax.jit, static_argnames=("bk",))
-def capped_gather(ptable, gid, live, bk: int):
-    """Phase 2: THE dominant row-gather, with parameter operands."""
-    rows = jnp.take(ptable, gid, axis=0, mode="clip")
+def capped_gather(ta, tb, gid, live, bk: int):
+    """Phase 2: THE dominant row-gather — two width-4 gathers with
+    parameter operands (row-byte cost scaling)."""
+    rows_a = jnp.take(ta, gid, axis=0, mode="clip")
+    rows_b = jnp.take(tb, gid, axis=0, mode="clip")
+    rows = blend_kernel.rows_from_tables2(rows_a, rows_b)
     return blend_kernel.features_from_rows(rows, live, bk)
 
 
@@ -560,10 +566,10 @@ def blend_tiles_capped_split(elements, ranges, frame, config, caps):
     [n_invalid, fits, packed_end, n_grow])."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
-    ptable, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(
+    ta, tb, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(
         elements, ranges, frame, config, caps
     )
-    feat = capped_gather(ptable, gid, live, config.blend_batch_k)
+    feat = capped_gather(ta, tb, gid, live, config.blend_batch_k)
     return capped_finish(
         feat, pstart, counts, r, fits, pcum_end, caps, elements, ranges,
         frame, config, ep,

@@ -82,6 +82,84 @@ def pack_feature_table(frame: GaussianFrameData):
     return jax.lax.optimization_barrier(table)
 
 
+def pack_feature_tables2(frame: GaussianFrameData):
+    """Per-gaussian blend features as TWO [N, 4] tables (narrow-gather
+    layout).
+
+    The in-pipeline XLA row-gather cost scales with row BYTES (~0.55 ns/B +
+    ~2 ns/row fixed, measured 2026-08-21: [N,4] 6.1 ns/row vs [N,10]
+    22 ns/row at 6.27M rows), so the capped path's dominant gather runs as
+    two width-4 gathers (2x38 = 76 ms) instead of one width-10 (139 ms).
+    Precision-critical quantities stay f32; the rgb color rides as two
+    f16-PAIR words (f16 relative error ~5e-4, inside the 2e-3 float image
+    contract, docs/TOLERANCES.md; color only enters the final w*rgb
+    accumulation).
+
+      table_a [N,4] f32: gx, gy, a' (=-a/2), b' (=-b)
+      table_b [N,4] f32: c' (=-c/2), galpha, pack16(r, g), pack16(b, 0)
+    """
+    n = frame.screen_pos.shape[0]
+    cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
+    table_a = jnp.concatenate(
+        [frame.screen_pos, cov_scaled[:, 0:2]], axis=-1
+    )
+
+    def pack16(x, y):
+        xb = jax.lax.bitcast_convert_type(
+            x.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        yb = jax.lax.bitcast_convert_type(
+            y.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            xb | (yb << jnp.uint32(16)), jnp.float32
+        )
+
+    rg = pack16(frame.color_alpha[:, 0], frame.color_alpha[:, 1])
+    b0 = pack16(frame.color_alpha[:, 2], jnp.zeros((n,), jnp.float32))
+    table_b = jnp.concatenate(
+        [
+            cov_scaled[:, 2:3],
+            frame.color_alpha[:, 3:4],
+            rg[:, None],
+            b0[:, None],
+        ],
+        axis=-1,
+    )
+    return (
+        jax.lax.optimization_barrier(table_a),
+        jax.lax.optimization_barrier(table_b),
+    )
+
+
+def rows_from_tables2(rows_a, rows_b):
+    """Reassemble the kernel's [E, 10] feature rows from the two narrow
+    gathers (inverse of pack_feature_tables2's packing)."""
+    packed = jax.lax.bitcast_convert_type(rows_b[:, 2:4], jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (packed & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (packed >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    r = lo[:, 0:1]
+    g = hi[:, 0:1]
+    b = lo[:, 1:2]
+    zeros = jnp.zeros_like(r)
+    return jnp.concatenate(
+        [
+            rows_a,  # gx, gy, a', b'
+            rows_b[:, 0:1],  # c'
+            zeros,
+            r,
+            g,
+            b,
+            rows_b[:, 1:2],  # galpha
+        ],
+        axis=-1,
+    )
+
+
 def features_from_rows(rows, live, batch_k: int):
     """[E, 10] per-element rows -> [NUM_FEATURES, E_pad] feature-major array.
 
