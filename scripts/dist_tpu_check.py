@@ -1,0 +1,91 @@
+"""Distributed pipeline on REAL TPU hardware, 1-device mesh.
+
+Proves the full shard_map graph — sharded keygen, depth-band thresholds,
+all_to_all routing, per-device sort, systolic strip blend with the PALLAS
+carry-aware tier — traces, compiles server-side, and executes on hardware
+(the CPU-mesh tests cannot vouch for Mosaic-under-shard_map, CLAUDE.md).
+Asserts image parity against a plain single-device render.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import math
+
+    from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
+    from vk3dgaussiansplatting_tpu.parallel import dist
+    from vk3dgaussiansplatting_tpu.parallel.mesh import make_mesh
+    from vk3dgaussiansplatting_tpu.pipeline import Renderer
+    from vk3dgaussiansplatting_tpu.render.camera import Camera
+    from vk3dgaussiansplatting_tpu.scenes.synthetic import procedural_cloud_table
+
+    print("device:", jax.devices()[0], flush=True)
+    ndev = len(jax.devices())
+    config = RenderConfig(
+        width=256,
+        height=256,
+        capacity_slack_per_tile=64,
+        sort_algorithm=SortAlgorithm.XLA_SORT,
+    )
+    table = procedural_cloud_table(
+        60_000, seed=9, extent=3.0, scale_log_mean=-3.0
+    )
+    cam = Camera(config.aspect)
+    cam.set_position((0.0, 0.0, 3.0))
+    cam.set_rotation(math.pi, 0.0)
+    view, proj = cam.matrices()
+
+    mesh = make_mesh(ndev)
+    padded = dist._pad_table(table, ndev)
+    plan = dist.plan_distribution(config, padded.num_gaussians, ndev)
+    for pallas in (False, True):
+        fn = dist.make_distributed_render(
+            mesh, config, plan, use_pallas_blend=pallas
+        )
+        img = np.asarray(
+            fn(
+                jax.tree.map(jnp.asarray, padded),
+                jnp.asarray(view),
+                jnp.asarray(proj),
+                jnp.asarray(cam.position, dtype=jnp.float32),
+            )
+        )[: config.height, : config.width]
+        print(
+            f"dist(pallas={pallas}) image: finite={np.isfinite(img).all()} "
+            f"lit={(img.sum(-1) > 0).sum()}",
+            flush=True,
+        )
+        if pallas:
+            img_pallas = img
+        else:
+            img_xla = img
+
+    # Like-for-like parity: each distributed tier against its own
+    # single-device formulation (cross-tier deltas compound the two
+    # documented float tolerances, docs/TOLERANCES.md).
+    deltas = {}
+    for pallas, img in ((False, img_xla), (True, img_pallas)):
+        renderer = Renderer(config, use_pallas_blend=pallas)
+        renderer.init_for_scene(table)
+        ref = np.asarray(renderer.draw(cam).image)
+        deltas[pallas] = np.abs(img - ref).max()
+    print(f"max |delta| vs matching single-device tier: "
+          f"xla {deltas[False]:.2e}, pallas {deltas[True]:.2e}", flush=True)
+    assert deltas[False] <= 2e-3 and deltas[True] <= 2e-3, (
+        "distributed parity violated"
+    )
+    print("dist TPU check OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
