@@ -399,6 +399,35 @@ def main():
         bench("  sub: blend_flat_core (ep)", blendcore_digest, feat_d,
               pranges_d, iters=4)
 
+        # blend batch-width sweep (cumprod is log2(bk) multiplies/batch;
+        # smaller bk trades fewer lanes per multiply against more batches)
+        import dataclasses as _dc
+
+        for bkv in (256, 768, 1024):
+            cfg_v = _dc.replace(config, blend_batch_k=bkv)
+
+            @jax.jit
+            def featbuild_v(fr, gid, bkv=bkv):
+                g = jnp.where(
+                    gid == jnp.uint32(0xFFFFFFFF), 0, gid
+                ).astype(jnp.int32)
+                rows = jnp.take(
+                    bk.pack_feature_table(fr), g, axis=0, mode="clip"
+                )
+                return bk.features_from_rows(rows, None, bkv)
+
+            feat_v = jax.block_until_ready(featbuild_v(frame, gid_d))
+
+            def bc_digest(s, feat, pr, cfg_v=cfg_v):
+                img, t = bk.blend_flat_core(
+                    feat + s * jnp.float32(1e-9), pr, cfg_v, ep, with_t=True
+                )
+                return jnp.sum(img[::97, ::97, 0]) + jnp.sum(t[::97, ::97])
+
+            bench(f"  sub: blend_flat_core bk={bkv}", bc_digest, feat_v,
+                  pranges_d, iters=4)
+            del feat_v
+
         # isolation matrix for the gather anomaly (real 141 ms vs 66 ms
         # probe at identical shapes): values vs in-graph table build
         n_table = int(frame.color_alpha.shape[0])
