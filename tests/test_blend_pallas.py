@@ -101,3 +101,37 @@ def test_pallas_blend_k256_matches_k512():
         blend_kernel.blend_tiles_pallas_flat(elements, ranges, frame, cfg256)
     )
     np.testing.assert_array_equal(flat256, img256)
+
+
+def test_split_feature_tables_roundtrip(rng):
+    """pack_feature_tables2 + rows_from_tables2 must reproduce the wide
+    feature rows: f32 columns exactly, rgb to f16 precision (~5e-4)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk3dgaussiansplatting_tpu.ops.keygen import GaussianFrameData
+    from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel as bk
+
+    n = 1000
+    frame = GaussianFrameData(
+        color_alpha=jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32)),
+        cov2d=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        cov_inv=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        screen_pos=jnp.asarray(
+            rng.uniform(-500, 2500, (n, 2)).astype(np.float32)
+        ),
+    )
+    wide = np.asarray(bk.pack_feature_table(frame))
+    ta, tb = bk.pack_feature_tables2(frame)
+    idx = jnp.asarray(rng.integers(0, n, 4096).astype(np.int32))
+    rows = np.asarray(
+        bk.rows_from_tables2(
+            jnp.take(ta, idx, axis=0), jnp.take(tb, idx, axis=0)
+        )
+    )
+    want = wide[np.asarray(idx)]
+    # f32 columns bit-exact: gx, gy, a', b', c', pad, galpha
+    for col in (0, 1, 2, 3, 4, 5, 9):
+        np.testing.assert_array_equal(rows[:, col], want[:, col], err_msg=str(col))
+    # rgb to f16 relative precision
+    np.testing.assert_allclose(rows[:, 6:9], want[:, 6:9], rtol=1e-3, atol=1e-3)
