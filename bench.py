@@ -248,10 +248,35 @@ def main():
     capacity = config.sort_capacity(n_gauss)
     log(f"scene built in {time.time()-t0:.1f}s; capacity={capacity}")
 
+    # The scene build is deterministic in (scene, seed, generator, opacity
+    # mode), so the calibrated multiplier is too: memoize it on disk.  The
+    # calibration loop is the bench's most tunnel-exposed phase (13
+    # synchronous fetches; observed 48 s to 10+ min depending on tunnel
+    # mood), and skipping it makes driver re-runs faster and sturdier.
+    import os
+
+    cal_key = (f"{args.scene}-{args.seed}-{args.scene_gen}-"
+               f"{args.opacity_mode}-{capacity}")
+    cal_path = os.path.expanduser(f"~/.cache/vk3dgs_cal_{cal_key}.txt")
     t0 = time.time()
-    mult, live = calibrate_scale(host_table, cam, config, capacity, target_elems)
-    log(f"calibrated scale x{mult:.3f} -> {live/1e6:.2f}M live elements "
-        f"(target {target_elems/1e6:.2f}M) in {time.time()-t0:.0f}s")
+    if os.path.exists(cal_path):
+        with open(cal_path) as f:
+            mult, live = f.read().split()
+        mult, live = float(mult), int(live)
+        log(f"calibration memo: scale x{mult:.3f} -> {live/1e6:.2f}M live "
+            f"elements ({cal_path})")
+    else:
+        mult, live = calibrate_scale(
+            host_table, cam, config, capacity, target_elems
+        )
+        log(f"calibrated scale x{mult:.3f} -> {live/1e6:.2f}M live elements "
+            f"(target {target_elems/1e6:.2f}M) in {time.time()-t0:.0f}s")
+        try:
+            os.makedirs(os.path.dirname(cal_path), exist_ok=True)
+            with open(cal_path, "w") as f:
+                f.write(f"{mult} {live}")
+        except OSError:
+            pass
 
     table = jax.device_put(
         GaussianTable(
