@@ -255,8 +255,12 @@ def main():
     # mood), and skipping it makes driver re-runs faster and sturdier.
     import os
 
+    # Schema token: bump when the scene generators, culling, or the count
+    # formula change, so a stale memoized multiplier cannot silently skew
+    # cross-round comparisons (advisor r3).
+    cal_schema = 2
     cal_key = (f"{args.scene}-{args.seed}-{args.scene_gen}-"
-               f"{args.opacity_mode}-{capacity}")
+               f"{args.opacity_mode}-{capacity}-v{cal_schema}")
     cal_path = os.path.expanduser(f"~/.cache/vk3dgs_cal_{cal_key}.txt")
     t0 = time.time()
     if os.path.exists(cal_path):
@@ -422,12 +426,17 @@ def main():
         prev = 0
         for i in range(14):
             dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
+            if ok_cell[1] == 0:
+                continue  # monolithic dispatch does not track ok/stats
             cur = int(ok_cell[0])  # per-frame fetch: warmup only
             st = [int(v) for v in np.asarray(ok_cell[2])] if ok_cell[2] is not None else []
             log(f"  warmup frame {i}: ok={cur - prev} "
                 f"[n_invalid, fits, packed_end, n_grow]={st}")
             prev = cur
-        log(f"caps warmup: ok {prev}/{ok_cell[1]} frames")
+        if ok_cell[1]:
+            log(f"caps warmup: ok {prev}/{ok_cell[1]} frames")
+        else:
+            log("caps warmup done (ok not tracked on monolithic dispatch)")
     t0 = time.perf_counter()
     run(1)
     t1 = time.perf_counter() - t0
@@ -438,7 +447,7 @@ def main():
     baseline = BASELINES_MS[args.scene]
     log(f"t(1)={t1*1e3:.1f}ms t({args.frames+1})={tn*1e3:.1f}ms")
 
-    if capped_mode:
+    if capped_mode and ok_cell[1]:
         ok_n = int(ok_cell[0])
         log(f"capped fast-path rate: {ok_n}/{ok_cell[1]} frames validated")
     result = {

@@ -52,19 +52,20 @@ def main():
         fn = dist.make_distributed_render(
             mesh, config, plan, use_pallas_blend=pallas
         )
-        img = np.asarray(
-            fn(
-                jax.tree.map(jnp.asarray, padded),
-                jnp.asarray(view),
-                jnp.asarray(proj),
-                jnp.asarray(cam.position, dtype=jnp.float32),
-            )
-        )[: config.height, : config.width]
+        img, dropped = fn(
+            jax.tree.map(jnp.asarray, padded),
+            jnp.asarray(view),
+            jnp.asarray(proj),
+            jnp.asarray(cam.position, dtype=jnp.float32),
+        )
+        img = np.asarray(img)[: config.height, : config.width]
+        dropped = int(np.sum(np.asarray(dropped)))
         print(
             f"dist(pallas={pallas}) image: finite={np.isfinite(img).all()} "
-            f"lit={(img.sum(-1) > 0).sum()}",
+            f"lit={(img.sum(-1) > 0).sum()} dropped={dropped}",
             flush=True,
         )
+        assert dropped == 0, f"strip-window overflow dropped {dropped}"
         if pallas:
             img_pallas = img
         else:

@@ -50,7 +50,7 @@ def test_single_vs_multi_device(scene):
     plan = dist_mod.plan_distribution(CONFIG, padded.num_gaussians, NDEV)
     fn = dist_mod.make_distributed_render(mesh, CONFIG, plan)
     view, proj = scene.camera.matrices()
-    img = fn(
+    img, dropped = fn(
         jax.tree.map(jnp.asarray, padded),
         jnp.asarray(view),
         jnp.asarray(proj),
@@ -58,6 +58,7 @@ def test_single_vs_multi_device(scene):
     )
     img = np.asarray(img)[: CONFIG.height, : CONFIG.width]
     assert img.shape == ref.shape
+    assert int(np.sum(np.asarray(dropped))) == 0
     np.testing.assert_allclose(img, ref, atol=2e-3)
     assert img.max() > 0
 
@@ -79,14 +80,14 @@ def test_multi_device_random_cloud():
     plan = dist_mod.plan_distribution(CONFIG, padded.num_gaussians, NDEV)
     fn = dist_mod.make_distributed_render(mesh, CONFIG, plan)
     view, proj = cam.matrices()
-    img = np.asarray(
-        fn(
-            jax.tree.map(jnp.asarray, padded),
-            jnp.asarray(view),
-            jnp.asarray(proj),
-            jnp.asarray(cam.position),
-        )
-    )[: CONFIG.height, : CONFIG.width]
+    img, dropped = fn(
+        jax.tree.map(jnp.asarray, padded),
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(cam.position),
+    )
+    img = np.asarray(img)[: CONFIG.height, : CONFIG.width]
+    assert int(np.sum(np.asarray(dropped))) == 0
     np.testing.assert_allclose(img, ref, atol=2e-3)
     assert img.max() > 0
 
@@ -111,12 +112,12 @@ def test_multi_device_pallas_blend_parity(scene):
         jnp.asarray(scene.camera.position),
     )
     img_x = np.asarray(
-        dist_mod.make_distributed_render(mesh, CONFIG, plan)(*args)
+        dist_mod.make_distributed_render(mesh, CONFIG, plan)(*args)[0]
     )
     img_p = np.asarray(
         dist_mod.make_distributed_render(
             mesh, CONFIG, plan, use_pallas_blend=True
-        )(*args)
+        )(*args)[0]
     )
     np.testing.assert_allclose(img_p, img_x, atol=5e-3)
     assert img_p.max() > 0

@@ -69,14 +69,14 @@ def test_skewed_cloud_multi_device_parity():
     plan = dist_mod.plan_distribution(CONFIG, padded.num_gaussians, NDEV)
     fn = dist_mod.make_distributed_render(mesh, CONFIG, plan)
     view, proj = cam.matrices()
-    img = np.asarray(
-        fn(
-            jax.tree.map(jnp.asarray, padded),
-            jnp.asarray(view),
-            jnp.asarray(proj),
-            jnp.asarray(cam.position, dtype=jnp.float32),
-        )
-    )[: CONFIG.height, : CONFIG.width]
+    img, dropped = fn(
+        jax.tree.map(jnp.asarray, padded),
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(cam.position, dtype=jnp.float32),
+    )
+    img = np.asarray(img)[: CONFIG.height, : CONFIG.width]
+    assert int(np.sum(np.asarray(dropped))) == 0
     np.testing.assert_allclose(img, ref, atol=2e-3)
 
 
@@ -101,14 +101,13 @@ def test_slab_overflow_drops_not_corrupts():
     )
     fn = dist_mod.make_distributed_render(mesh, CONFIG, tiny)
     view, proj = cam.matrices()
-    img = np.asarray(
-        fn(
-            jax.tree.map(jnp.asarray, padded),
-            jnp.asarray(view),
-            jnp.asarray(proj),
-            jnp.asarray(cam.position, dtype=jnp.float32),
-        )
-    )[: CONFIG.height, : CONFIG.width]
+    img, _dropped = fn(
+        jax.tree.map(jnp.asarray, padded),
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(cam.position, dtype=jnp.float32),
+    )
+    img = np.asarray(img)[: CONFIG.height, : CONFIG.width]
     assert np.isfinite(img).all()
     assert img.min() >= 0.0 and img.max() <= 1.0
 
@@ -171,3 +170,34 @@ def test_hot_tile_exceeding_slab_renders_without_drops():
     assert int(np.sum(np.asarray(live))) == ref_count
     # ...and the image matches single-device within the float contract.
     np.testing.assert_allclose(img, ref, atol=2e-3)
+
+
+def test_strip_window_overflow_is_reported():
+    """Advisor r3 (medium): an under-sized per-phase strip window must not
+    fail silently — the default return surfaces the dropped-element count,
+    and the drop counter is the only divergence signal (the image stays
+    finite and only ever loses elements)."""
+    table = _hot_cloud()
+    cam = _camera()
+
+    mesh = make_mesh(NDEV)
+    padded = dist_mod._pad_table(table, NDEV)
+    plan = dist_mod.plan_distribution(CONFIG, padded.num_gaussians, NDEV)
+    tiny = dist_mod.DistConfig(
+        num_devices=plan.num_devices,
+        tile_rows_per_device=plan.tile_rows_per_device,
+        local_capacity=plan.local_capacity,
+        slab_capacity=plan.slab_capacity,
+        strip_capacity=8,  # far below the hot strip's element count
+    )
+    fn = dist_mod.make_distributed_render(mesh, CONFIG, tiny)
+    view, proj = cam.matrices()
+    img, dropped = fn(
+        jax.tree.map(jnp.asarray, padded),
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(cam.position, dtype=jnp.float32),
+    )
+    img = np.asarray(img)[: CONFIG.height, : CONFIG.width]
+    assert int(np.sum(np.asarray(dropped))) > 0  # overflow is visible
+    assert np.isfinite(img).all()  # ...and degrades, never corrupts

@@ -199,6 +199,13 @@ def blend_tiles_capped(
     img, _t, valid, fits, _pc = _capped_core(
         elements, ranges, frame, config, caps, ep
     )
+    # Static caps carry no temporal hysteresis, so validation runs at the
+    # plain transmittance stop (factor 1.0) — exact-or-fallback, not
+    # tolerance-or-fallback (advisor r3).
+    r = (ranges[:, 1] - ranges[:, 0]).astype(jnp.int32)
+    valid = (r <= caps) | (
+        jnp.max(_t, axis=1) < jnp.float32(config.transmittance_stop)
+    )
     ok = jnp.all(valid) & fits
 
     def full_path(_):
@@ -224,9 +231,11 @@ def blend_tiles_capped_temporal(
             (init: full(config.blend_depth_cap); see init_caps).
 
     Returns (image [H, W, 3], caps_next [num_tiles] i32, ok []).  The frame
-    is exact regardless of `ok`: invalid frames take the in-graph full
-    fallback; `ok` reports whether the fast path validated (and therefore
-    whether the frame was cheap).
+    is exact within the quantized-image contract (docs/TOLERANCES.md)
+    regardless of `ok`: validated tiles drop per-pixel tails bounded by
+    transmittance_stop * cap_validation_factor, and invalid frames take the
+    in-graph full fallback; `ok` reports whether the fast path validated
+    (and therefore whether the frame was cheap).
     """
     base = config.blend_depth_cap
     assert base > 0

@@ -32,7 +32,11 @@ def two_level_left_search(arr, probes):
     arr:    [N] sorted array (any integer/uint dtype).
     probes: [P] probe values (same comparison domain as arr).
     Returns [P] int32 positions.  For integer keys, a side="right" search
-    is `two_level_left_search(arr, probes + 1)`.
+    is `two_level_left_search(arr, probes + 1)` — but ONLY for probes
+    strictly below the dtype maximum: probing the max (e.g. the 0xFFFFFFFF
+    sentinel as uint32) wraps `probes + 1` to 0 and silently returns
+    position 0 instead of the array end.  Callers deriving probes from data
+    must clamp or saturate before applying the +1 recipe (advisor r3).
     """
     e = arr.shape[0]
     nc = -(-e // CHUNK)

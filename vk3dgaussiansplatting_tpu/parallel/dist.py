@@ -209,13 +209,22 @@ def make_distributed_render(
 ):
     """Build the jitted multi-device frame function.
 
-    Returns fn(table, view, proj, cam_pos) -> [H_padded, W, 3] float32 image
-    (sharded over rows).  The gaussian table must be padded to a multiple of
-    the device count (see _pad_table).
+    Returns fn(table, view, proj, cam_pos) -> (image, dropped) where image is
+    the [H_padded, W, 3] float32 frame (sharded over rows) and dropped is the
+    [ndev] int32 per-device count of elements the per-phase strip windows
+    truncated.  `dropped` MUST be all-zero for the image to be exact:
+    `DistConfig.strip_capacity` (a 2x-slack heuristic over the balanced
+    per-strip load) is a correctness knob, and a skewed tile distribution
+    that overflows it degrades the affected strips' tiles with no other
+    signal.  Callers must check it (tests/test_skew.py asserts both the
+    zero-drop steady state and that a forced overflow is reported).  The
+    gaussian table must be padded to a multiple of the device count
+    (see _pad_table).
 
-    With return_stats, returns (image, live) where live is the [ndev] int32
-    per-device count of live sorted elements actually received and blended —
-    the denominator the scaling benchmark uses (capacity slots are not work).
+    With return_stats, returns (image, live) instead, where live is the
+    [ndev] int32 per-device count of live sorted elements actually received
+    and blended minus drops — the denominator the scaling benchmark uses
+    (capacity slots are not work).
     """
     ndev = dist.num_devices
     tiles_per_dev = dist.tile_rows_per_device * config.grid_width
@@ -407,7 +416,11 @@ def make_distributed_render(
         if return_stats:
             blended = count.astype(jnp.int32) - dropped.astype(jnp.int32)
             return strip, blended.reshape(1)
-        return strip  # [strip_height, W, 3]
+        # Default path surfaces the strip-window overflow count: dropped
+        # elements silently degrade the image (advisor r3 medium), so the
+        # count rides out with every frame instead of hiding behind
+        # return_stats.
+        return strip, dropped.astype(jnp.int32).reshape(1)
 
     table_spec = GaussianTable(
         position=P(SHARD_AXIS),
@@ -416,7 +429,7 @@ def make_distributed_render(
         sh=P(SHARD_AXIS),
         opacity=P(SHARD_AXIS),
     )
-    out_specs = (P(SHARD_AXIS), P(SHARD_AXIS)) if return_stats else P(SHARD_AXIS)
+    out_specs = (P(SHARD_AXIS), P(SHARD_AXIS))
     fn = shard_map(
         per_device,
         mesh=mesh,

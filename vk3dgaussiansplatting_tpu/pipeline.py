@@ -93,8 +93,11 @@ def render_frame_temporal(
 
     `caps` is the per-tile cap state from the previous frame
     (capped_ops.init_caps to start); returns (FrameOutputs, caps_next).
-    The frame is exact regardless of whether the caps validated — invalid
-    frames take the in-graph full-blend fallback and escalate their caps.
+    The frame is exact within the quantized-image contract
+    (docs/TOLERANCES.md) regardless of whether the caps validated —
+    validated tiles drop per-pixel tails bounded by transmittance_stop *
+    cap_validation_factor, and invalid frames take the in-graph full-blend
+    fallback and escalate their caps.
     """
     from .ops import capped as capped_ops
 
