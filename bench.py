@@ -181,6 +181,16 @@ def main():
                          "a tighter value shrinks every per-slot pass — "
                          "results stay exact as long as nothing overflows, "
                          "which the live-element log confirms)")
+    ap.add_argument("--steady-frac", type=float, default=0.62,
+                    help="temporal depth-prefilter steady-state capacity, "
+                         "as a fraction of the full sort capacity: after "
+                         "the caps/thresholds warmup, keygen drops "
+                         "past-saturation gaussians and every per-element "
+                         "pass (expansion/sort/ranges) re-compiles at this "
+                         "smaller static capacity.  0 disables the "
+                         "prefilter (round-3 behavior).")
+    ap.add_argument("--no-prefilter", action="store_true",
+                    help="alias for --steady-frac 0")
     ap.add_argument("--scene-gen", default="cloud",
                     choices=["cloud", "surface"],
                     help="procedural stand-in generator: random cloud "
@@ -307,11 +317,20 @@ def main():
     # compiles the same per-pass programs the pass bench already caches.
 
     capped_mode = blend_mode == "capped"
+    steady_frac = 0.0 if args.no_prefilter else args.steady_frac
+    prefilter_on = capped_mode and steady_frac > 0
     if capped_mode:
         from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
-        caps_cell = [capped_ops.init_caps(config)]
+        # CapsState carries (caps, thr, floor): the temporal caps plus the
+        # depth-prefilter thresholds published by margin-deep tiles.
+        caps_cell = [
+            capped_ops.init_caps_state(config)
+            if prefilter_on
+            else capped_ops.init_caps(config)
+        ]
         ok_cell = [jnp.int32(0), 0, None]  # ok-count, frames, last stats
+    count_cell = [None]  # last frame's device element count
 
     @jax.jit
     def frame_digest_raw(eps, caps):
@@ -331,20 +350,34 @@ def main():
             caps_cell[0] = caps_next
         return d
 
-    def make_chained():
-        """Fallback: per-pass jits chained by async dispatch — identical
-        dataflow, but each pass compiles as its own (cacheable) program."""
+    def make_chained(cap_e=capacity, filtered=False):
+        """Per-pass jits chained by async dispatch — identical dataflow,
+        but each pass compiles as its own (cacheable) program.
+
+        cap_e: static sort-element capacity for this program set.  The
+        steady set (filtered=True) runs keygen with the temporal depth
+        thresholds and a smaller cap_e, so expansion/sort/ranges shrink;
+        the warmup set runs unfiltered at the full capacity (thresholds
+        converge there before the switch)."""
         from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
         from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
         from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
 
         # Big operands ride as explicit jit ARGS — closure-captured device
         # arrays hung the remote compile helper on the 14M sort (2026-08-21).
-        kg = jax.jit(
-            lambda eps, t: keygen_ops.generate_sort_elements(
-                t, vj.at[2, 3].add(eps), pj, cj, config, capacity
+        if filtered:
+            kg = jax.jit(
+                lambda eps, t, thr: keygen_ops.generate_sort_elements(
+                    t, vj.at[2, 3].add(eps), pj, cj, config, cap_e,
+                    depth_thr=thr,
+                )
             )
-        )
+        else:
+            kg = jax.jit(
+                lambda eps, t: keygen_ops.generate_sort_elements(
+                    t, vj.at[2, 3].add(eps), pj, cj, config, cap_e
+                )
+            )
         so = jax.jit(lambda el: sort_ops.sort_elements(el, config))
         rg = jax.jit(lambda el: ranges_ops.find_ranges(el, config.num_tiles))
         bl = jax.jit(make_blend_fn(config, blend_mode))
@@ -359,7 +392,11 @@ def main():
             # First call: log after each pass's (slow, remote) compile so
             # the tpu_run stall detector sees liveness between compiles.
             t0 = time.time()
-            el, fr = kg(eps, table)
+            if filtered:
+                el, fr = kg(eps, table, caps_cell[0].thr)
+            else:
+                el, fr = kg(eps, table)
+            count_cell[0] = el.count
             if first[0]:
                 log(f"  [compile] keygen done t+{time.time()-t0:.0f}s")
             el = so(el)
@@ -431,12 +468,43 @@ def main():
             cur = int(ok_cell[0])  # per-frame fetch: warmup only
             st = [int(v) for v in np.asarray(ok_cell[2])] if ok_cell[2] is not None else []
             log(f"  warmup frame {i}: ok={cur - prev} "
-                f"[n_invalid, fits, packed_end, n_grow]={st}")
+                f"[n_invalid, fits, packed_end, n_grow, n_unfix]={st}")
             prev = cur
         if ok_cell[1]:
             log(f"caps warmup: ok {prev}/{ok_cell[1]} frames")
         else:
             log("caps warmup done (ok not tracked on monolithic dispatch)")
+
+    if capped_mode and prefilter_on and big_scene:
+        # Steady-state switch: the warmup converged the per-tile caps AND
+        # published the depth thresholds; from here keygen drops
+        # past-saturation gaussians, so the per-element passes re-compile
+        # at a smaller static capacity.  Probe frames (fetched, excluded
+        # from timing) confirm the filtered live count actually fits.
+        steady_cap = -(-int(capacity * steady_frac) // 512) * 512
+        log(f"steady switch: capacity {capacity/1e6:.2f}M -> "
+            f"{steady_cap/1e6:.2f}M (frac {steady_frac})")
+        steady_dispatch = make_chained(steady_cap, filtered=True)
+        t0 = time.time()
+        fits_steady = True
+        for j in range(4):
+            steady_dispatch(jnp.float32(20 + j) * jnp.float32(1e-5))
+            cnt = int(count_cell[0])
+            st = [int(v) for v in np.asarray(ok_cell[2])]
+            log(f"  steady frame {j}: live={cnt/1e6:.2f}M/"
+                f"{steady_cap/1e6:.2f}M stats={st}")
+            if cnt >= steady_cap:
+                fits_steady = False
+                break
+        if fits_steady:
+            dispatch[0] = steady_dispatch
+            log(f"steady set active (compile+probe {time.time()-t0:.0f}s)")
+        else:
+            # Overflow dropped arbitrary elements; let the full set re-run
+            # a couple of frames so the temporal state re-validates.
+            log("steady capacity overflow; staying on the full set")
+            for j in range(2):
+                dispatch[0](jnp.float32(30 + j) * jnp.float32(1e-5))
     t0 = time.perf_counter()
     run(1)
     t1 = time.perf_counter() - t0

@@ -525,7 +525,7 @@ def main():
                 cov_inv=fr.cov_inv,
                 screen_pos=fr.screen_pos,
             )
-            img, _t, valid, fits, _pc = capped_ops._capped_core(
+            img, _t, valid, fits, _pc, _cnt = capped_ops._capped_core(
                 se, rg, fr2, config, c, ep
             )
             return (

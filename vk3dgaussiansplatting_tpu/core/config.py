@@ -142,6 +142,17 @@ class RenderConfig:
     # the 2x jump for genuinely invalid tiles) so the packed budget
     # converges instead of overshooting into overflow-decay limit cycles.
     cap_escalate_margin: float = 0.3
+    # Saturation-driven cap decay (the packed-occupancy controller): a
+    # truncating tile whose end-of-cap transmittance is below
+    # transmittance_stop * cap_escalate_margin * THIS factor decays its cap
+    # by 128/frame — the cap walks down toward the true saturation depth
+    # instead of pinning whatever the escalation overshot.  The decayed cap
+    # might undershoot (T is only known at the current end); validation
+    # catches that (patched frame + 2x re-escalation), and the ~600x
+    # transmittance band between the decay stop and validation failure
+    # makes it rare.  Gather/blend/layout cost scales with steady packed
+    # occupancy, so this is a direct perf knob.  0 disables.
+    cap_decay_margin: float = 0.02
     # Temporal-caps VALIDATION threshold, as a multiple of
     # transmittance_stop.  A capped tile passes when every pixel's T at the
     # cap is below stop * this factor; the dropped tail is therefore

@@ -54,6 +54,7 @@ strictly after the sort).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -64,8 +65,69 @@ from .keygen import GaussianFrameData, SortElements
 from .pallas import blend_kernel
 from .pallas.compact_kernel import compact_runs
 from .pallas.expand_kernel import expand_rows
+from .search import two_level_lex_search
 
 SEG_ALIGN = 128  # packed per-tile segment alignment (DMA lane alignment)
+
+
+class CapsState(NamedTuple):
+    """Temporal per-tile state carried across frames.
+
+    caps:  [T] i32 — blend truncation caps (the round-3 policy).
+    thr:   [T] u32 — depth-key prefilter thresholds (ops/prefilter.py);
+           SENTINEL disables filtering for the tile.  Tiles publish the
+           depth at their capped end when margin-deep saturated; keygen
+           then drops gaussians provably behind every tile they touch, and
+           the capped blend truncates each filtered tile at its threshold
+           CROSSING so the T-based validation proves exactness against the
+           full (unfiltered) range.
+    floor: [T] i32 — smallest trusted cap (the saturation-decay ratchet).
+           Transmittance is only known at the CURRENT end, so decay is a
+           guess; a tile whose T profile has a cliff (an opaque wall mid-
+           range) would otherwise cycle decay -> invalid -> escalate
+           forever.  Validation failure raises the floor to the escalated
+           cap; decay never goes below it; a halved range (big scene
+           change) resets it to the base cap.
+    """
+
+    caps: jax.Array
+    thr: jax.Array
+    floor: jax.Array
+
+
+def init_caps_state(config: RenderConfig) -> CapsState:
+    assert config.blend_depth_cap > 0
+    return CapsState(
+        caps=jnp.full((config.num_tiles,), config.blend_depth_cap, jnp.int32),
+        thr=jnp.full((config.num_tiles,), jnp.uint32(SENTINEL)),
+        floor=jnp.full(
+            (config.num_tiles,), config.blend_depth_cap, jnp.int32
+        ),
+    )
+
+
+def _crossing_counts(elements: SortElements, starts, r, caps, thr):
+    """Per-tile blend counts under caps AND depth thresholds.
+
+    For filtered tiles (thr != SENTINEL) the count is additionally trimmed
+    at the threshold crossing — the first in-range element with
+    depth > thr — found by one lexicographic search over the sorted
+    (tile, depth) pairs.  Beyond the crossing the kept range may be missing
+    dropped elements, so blending past it would be unverifiable; at or
+    before it the kept range provably equals the unfiltered range
+    (ops/prefilter.py conservativeness argument).
+    """
+    t = starts.shape[0]
+    filtered = thr != jnp.uint32(SENTINEL)
+    tids = jnp.arange(t, dtype=jnp.uint32)
+    # probe (t, thr+1): count of pairs lex-below == global position of the
+    # first element of tile t with depth > thr.  thr is clamped to
+    # SENTINEL-1 when published, so the +1 never wraps (ops/search.py).
+    probe_lo = jnp.minimum(thr, jnp.uint32(SENTINEL - 1)) + jnp.uint32(1)
+    pcross = two_level_lex_search(elements.tile, elements.depth, tids, probe_lo)
+    pfx = jnp.clip(pcross - starts, 0, r)
+    counts = jnp.minimum(r, caps)
+    return jnp.where(filtered, jnp.minimum(counts, pfx), counts), filtered
 
 
 def _round_up(x: int, m: int) -> int:
@@ -109,11 +171,13 @@ def _capped_core(
     config: RenderConfig,
     caps,
     ep: int,
+    thr=None,
 ):
-    """Capped blend at per-tile caps.
+    """Capped blend at per-tile caps (and optional depth thresholds).
 
-    Returns (img, t_out, valid, fits, pcum_end); caps: [num_tiles] i32,
-    each <= config.blend_cap_max.
+    Returns (img, t_out, valid, fits, pcum_end, counts); caps: [num_tiles]
+    i32, each <= config.blend_cap_max; thr: optional [num_tiles] u32
+    prefilter thresholds (CapsState.thr).
     """
     capacity = elements.tile.shape[0]
     bk = config.blend_batch_k
@@ -124,7 +188,11 @@ def _capped_core(
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
     r = ends - starts
-    counts = jnp.minimum(r, caps)
+    if thr is None:
+        counts = jnp.minimum(r, caps)
+        filtered = None
+    else:
+        counts, filtered = _crossing_counts(elements, starts, r, caps, thr)
     # Alignment-preserving slab layout (compact_kernel.py rationale): tile
     # t's run lands at sbase_t + off_t where off_t = starts_t mod 128, so
     # both compactor DMAs use provably-128-aligned offsets.
@@ -173,13 +241,18 @@ def _capped_core(
 
     # Validity: range fit the cap, or every pixel saturated at the cap
     # (threshold = stop * cap_validation_factor; hysteresis rationale in
-    # core/config.py, tail bound in docs/TOLERANCES.md).
+    # core/config.py, tail bound in docs/TOLERANCES.md).  Filtered tiles
+    # may be missing dropped elements beyond their threshold crossing, so
+    # "range fit" proves nothing there: only saturation at the (trimmed)
+    # end validates them.
     t_max = jnp.max(t_out, axis=1)
-    valid = (r <= counts) | (
-        t_max
-        < jnp.float32(config.transmittance_stop * config.cap_validation_factor)
+    sat = t_max < jnp.float32(
+        config.transmittance_stop * config.cap_validation_factor
     )
-    return img, t_out, valid, fits, pcum[-1]
+    valid = (r <= counts) | sat
+    if filtered is not None:
+        valid = jnp.where(filtered, sat, valid)
+    return img, t_out, valid, fits, pcum[-1], counts
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -196,7 +269,7 @@ def blend_tiles_capped(
     capacity = elements.tile.shape[0]
     ep = packed_capacity(config, capacity)
     caps = jnp.full((config.num_tiles,), cap, jnp.int32)
-    img, _t, valid, fits, _pc = _capped_core(
+    img, _t, valid, fits, _pc, _cnt = _capped_core(
         elements, ranges, frame, config, caps, ep
     )
     # Static caps carry no temporal hysteresis, so validation runs at the
@@ -216,6 +289,108 @@ def blend_tiles_capped(
     return lax.cond(ok, lambda _: img, full_path, 0)
 
 
+def _policy_update(
+    config: RenderConfig,
+    ep: int,
+    caps,
+    thr,
+    floor,
+    r,
+    counts,
+    starts,
+    depth_col,
+    t_max,
+    valid,
+    fits,
+    pcum_end,
+):
+    """Next-frame caps (and prefilter thresholds) from this frame's
+    validation — shared by the monolithic and split-phase paths.
+
+    Caps: escalate failed tiles 2x (geometric: converges in <= log2 frames
+    up to cap_max without overshooting — a 4x jump would pin 2-4x more
+    packed slots than the tile's true saturation depth, and there is no
+    saturation-based decay to reclaim them); decay tiles whose range shrank
+    below half their cap (monotone-safe: the decayed cap still covers the
+    full range, so no oscillation).  Saturation-valid tiles keep escalating
+    until T clears the margin (config rationale).  Margin growth is
+    headroom-gated on the PROJECTED layout size: thousands of tiles grow in
+    the same frame, so gating on the current size alone overshoots the
+    budget in one step and oscillates through overflow-shedding.
+
+    Thresholds (when `thr` is not None): margin-deep valid tiles publish
+    the depth key at their (trimmed) capped end — the prefilter fixed
+    point; everything else publishes SENTINEL (unfiltered next frame).
+    Publishing only under the escalation margin keeps a 13x transmittance
+    hysteresis band between acquiring a threshold and failing validation.
+    """
+    base = config.blend_depth_cap
+    cap_max = config.blend_cap_max
+    margin_ok = t_max < jnp.float32(
+        config.transmittance_stop * config.cap_escalate_margin
+    )
+    esc = jnp.minimum(caps * 2, jnp.int32(cap_max))
+    dec = jnp.maximum(caps // 2, jnp.int32(base))
+    stay = (r <= caps) | margin_ok
+    n_grow = jnp.sum((valid & jnp.logical_not(stay)).astype(jnp.int32))
+    room = pcum_end + n_grow * jnp.int32(128) <= jnp.int32(int(ep * 0.97))
+    grow = jnp.where(
+        room, jnp.minimum(caps + jnp.int32(128), jnp.int32(cap_max)), caps
+    )
+    # Saturation-driven decay (CapsState mode only): a truncating,
+    # deeply-saturated tile walks its cap down toward the true saturation
+    # depth, never below its trusted floor (config + CapsState rationale).
+    if floor is not None and config.cap_decay_margin > 0:
+        deep = (
+            t_max
+            < jnp.float32(
+                config.transmittance_stop
+                * config.cap_escalate_margin
+                * config.cap_decay_margin
+            )
+        ) & (counts < r)
+        hold = jnp.where(
+            deep,
+            jnp.maximum(caps - jnp.int32(128), jnp.maximum(floor, base)),
+            caps,
+        )
+    else:
+        hold = caps
+    caps_next = jnp.where(
+        valid,
+        jnp.where(stay, jnp.where(r * 2 <= caps, dec, hold), grow),
+        esc,
+    )
+    # Packed-budget overflow: shed gently until the layout re-fits.
+    shed = jnp.maximum(caps - jnp.int32(128), jnp.int32(base))
+    caps_next = jnp.where(fits, caps_next, shed)
+
+    if floor is not None:
+        # Failure raises the floor to the escalated cap; a halved range
+        # resets it (the scene moved enough that the old cliff is stale).
+        floor_next = jnp.where(jnp.logical_not(valid), esc, floor)
+        floor_next = jnp.where(
+            valid & (r * 2 <= caps), jnp.int32(base), floor_next
+        )
+    else:
+        floor_next = None
+
+    if thr is None:
+        return caps_next, None, floor_next, n_grow
+    e = depth_col.shape[0]
+    publish = valid & margin_ok & fits
+    end_pos = jnp.clip(starts + counts - 1, 0, e - 1)
+    depth_end = jnp.take(depth_col, end_pos, axis=0)
+    # Clamp below SENTINEL: SENTINEL means "unfiltered", and the crossing
+    # search probes thr + 1 (wraparound restriction, ops/search.py).
+    thr_next = jnp.where(
+        publish,
+        jnp.minimum(depth_end, jnp.uint32(SENTINEL - 1)),
+        jnp.uint32(SENTINEL),
+    )
+    return caps_next, thr_next, floor_next, n_grow
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def blend_tiles_capped_temporal(
     elements: SortElements,
@@ -227,15 +402,22 @@ def blend_tiles_capped_temporal(
     """Per-tile temporal-caps blend.
 
     Args:
-      caps: [num_tiles] int32 per-tile caps from the previous frame
-            (init: full(config.blend_depth_cap); see init_caps).
+      caps: per-tile temporal state from the previous frame — either a
+            [num_tiles] int32 caps array (init_caps) or a CapsState
+            (init_caps_state) to also enable the depth-threshold prefilter
+            publication.  The state kind is static: the return's caps_next
+            mirrors the input kind.
 
-    Returns (image [H, W, 3], caps_next [num_tiles] i32, ok []).  The frame
-    is exact within the quantized-image contract (docs/TOLERANCES.md)
-    regardless of `ok`: validated tiles drop per-pixel tails bounded by
-    transmittance_stop * cap_validation_factor, and invalid frames take the
-    in-graph full fallback; `ok` reports whether the fast path validated
-    (and therefore whether the frame was cheap).
+    Returns (image [H, W, 3], caps_next, ok []).  The frame is exact
+    within the quantized-image contract (docs/TOLERANCES.md) regardless of
+    `ok` — PROVIDED keygen was not prefiltered, or every prefiltered tile
+    validates: validated tiles drop per-pixel tails bounded by
+    transmittance_stop * cap_validation_factor, and invalid frames take
+    the in-graph full fallback.  A prefiltered (thr != SENTINEL) tile that
+    fails validation cannot be repaired from the filtered element list; it
+    is patched best-effort, `ok` reports 0, and its threshold resets to
+    SENTINEL so the next frame is exact again (<= 1 flagged frame per
+    event; see ops/prefilter.py).
     """
     base = config.blend_depth_cap
     assert base > 0
@@ -243,50 +425,23 @@ def blend_tiles_capped_temporal(
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
 
-    caps = jnp.clip(caps.astype(jnp.int32), base, cap_max)
-    img, _t, valid, fits, pcum_end = _capped_core(
-        elements, ranges, frame, config, caps, ep
+    is_state = isinstance(caps, CapsState)
+    thr = caps.thr if is_state else None
+    floor = caps.floor if is_state else None
+    caps = (caps.caps if is_state else caps).astype(jnp.int32)
+    caps = jnp.clip(caps, base, cap_max)
+    img, _t, valid, fits, pcum_end, counts = _capped_core(
+        elements, ranges, frame, config, caps, ep, thr
     )
     ok = jnp.all(valid) & fits
 
     starts = ranges[:, 0].astype(jnp.int32)
     r = ranges[:, 1].astype(jnp.int32) - starts
-    # Escalate failed tiles 2x (geometric: converges in <= log2 frames up
-    # to cap_max without overshooting — a 4x jump would pin 2-4x more packed
-    # slots than the tile's true saturation depth, and there is no
-    # saturation-based decay to reclaim them); decay tiles whose range
-    # shrank below half their cap (monotone-safe: the decayed cap still
-    # covers the full range, so no oscillation).  Saturation-valid tiles
-    # keep escalating until T clears the margin (config rationale).
     t_max = jnp.max(_t, axis=1)
-    margin_ok = t_max < jnp.float32(
-        config.transmittance_stop * config.cap_escalate_margin
+    caps_next, thr_next, floor_next, _n_grow = _policy_update(
+        config, ep, caps, thr, floor, r, counts, starts, elements.depth,
+        t_max, valid, fits, pcum_end,
     )
-    esc = jnp.minimum(caps * 2, jnp.int32(cap_max))
-    # Margin growth is headroom-gated: once the packed layout approaches
-    # its static budget, stop-valid-but-not-margin-deep tiles simply stay
-    # at their caps (still exact) instead of growing the layout into an
-    # overflow-shed limit cycle (observed: alternating ok frames).
-    dec = jnp.maximum(caps // 2, jnp.int32(base))
-    stay = (r <= caps) | margin_ok
-    # Gate on the PROJECTED layout size: thousands of tiles grow in the
-    # same frame, so gating on the current size alone overshoots the
-    # budget in one step and oscillates through overflow-shedding.
-    n_grow = jnp.sum((valid & jnp.logical_not(stay)).astype(jnp.int32))
-    room = pcum_end + n_grow * jnp.int32(128) <= jnp.int32(int(ep * 0.97))
-    grow = jnp.where(
-        room, jnp.minimum(caps + jnp.int32(128), jnp.int32(cap_max)), caps
-    )
-    caps_next = jnp.where(
-        valid,
-        jnp.where(
-            stay, jnp.where(r * 2 <= caps, dec, caps), grow
-        ),
-        esc,
-    )
-    # Packed-budget overflow: shed gently until the layout re-fits.
-    shed = jnp.maximum(caps - jnp.int32(128), jnp.int32(base))
-    caps_next = jnp.where(fits, caps_next, shed)
 
     def full_path(_):
         return blend_kernel.blend_tiles_pallas_flat(
@@ -314,6 +469,16 @@ def blend_tiles_capped_temporal(
 
     img = lax.cond(ok, lambda _: img, patch_or_full, 0)
     ok = ok | patchable
+    if thr is not None:
+        # A patched prefiltered tile is still missing its dropped tail:
+        # only frames whose invalid tiles were all unfiltered count as ok.
+        n_unfix = jnp.sum(
+            (jnp.logical_not(valid) & (thr != jnp.uint32(SENTINEL))).astype(
+                jnp.int32
+            )
+        )
+        ok = ok & (n_unfix == 0)
+        return img, CapsState(caps=caps_next, thr=thr_next, floor=floor_next), ok
     return img, caps_next, ok
 
 
@@ -420,18 +585,24 @@ def _patch_pass(img, valid, elements, ranges, frame, config: RenderConfig):
 def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
     """Phase 1: packed layout + index compaction + feature table.
 
-    Returns (ptable [N,10], gid [ep] i32, live [ep] f32, pstart, counts,
-    r, fits)."""
+    caps: [T] i32 caps array or CapsState (enables threshold trimming).
+    Returns (ta, tb, gid [ep] i32, live [ep] f32, pstart, counts,
+    r, fits, pcum_end)."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
     wmax = _round_up(config.blend_cap_max, SEG_ALIGN) + SEG_ALIGN
 
-    caps = jnp.clip(caps.astype(jnp.int32), config.blend_depth_cap,
-                    config.blend_cap_max)
+    is_state = isinstance(caps, CapsState)
+    thr = caps.thr if is_state else None
+    caps = jnp.clip((caps.caps if is_state else caps).astype(jnp.int32),
+                    config.blend_depth_cap, config.blend_cap_max)
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
     r = ends - starts
-    counts = jnp.minimum(r, caps)
+    if thr is None:
+        counts = jnp.minimum(r, caps)
+    else:
+        counts, _filtered = _crossing_counts(elements, starts, r, caps, thr)
     off = starts - (starts // SEG_ALIGN) * SEG_ALIGN
     slabw = -(-(off + counts) // SEG_ALIGN) * SEG_ALIGN
     pcum = jnp.cumsum(slabw)
@@ -487,46 +658,35 @@ def capped_finish(
     config: RenderConfig,
     ep: int,
 ):
-    """Phase 3: blend + validation + caps update + in-graph fallback."""
-    caps = jnp.clip(caps.astype(jnp.int32), config.blend_depth_cap,
-                    config.blend_cap_max)
+    """Phase 3: blend + validation + caps/thresholds update + in-graph
+    fallback.  `caps` is a [T] i32 array or CapsState; caps_next mirrors
+    the input kind."""
+    is_state = isinstance(caps, CapsState)
+    thr = caps.thr if is_state else None
+    floor = caps.floor if is_state else None
+    caps = jnp.clip((caps.caps if is_state else caps).astype(jnp.int32),
+                    config.blend_depth_cap, config.blend_cap_max)
     pranges = jnp.stack([pstart, pstart + counts], axis=1).astype(jnp.uint32)
     img, t_out = blend_kernel.blend_flat_core(
         feat, pranges, config, ep, with_t=True
     )
     t_max = jnp.max(t_out, axis=1)
-    valid = (r <= counts) | (
-        t_max
-        < jnp.float32(config.transmittance_stop * config.cap_validation_factor)
+    sat = t_max < jnp.float32(
+        config.transmittance_stop * config.cap_validation_factor
     )
+    valid = (r <= counts) | sat
+    if thr is not None:
+        # Filtered tiles may be missing dropped elements beyond the
+        # threshold crossing — only saturation at the trimmed end proves
+        # them (ops/prefilter.py conservativeness argument).
+        valid = jnp.where(thr != jnp.uint32(SENTINEL), sat, valid)
     ok = jnp.all(valid) & fits
 
-    # margin-driven escalation (see blend_tiles_capped_temporal / config)
-    margin_ok = t_max < jnp.float32(
-        config.transmittance_stop * config.cap_escalate_margin
+    starts = ranges[:, 0].astype(jnp.int32)
+    caps_next, thr_next, floor_next, n_grow = _policy_update(
+        config, ep, caps, thr, floor, r, counts, starts, elements.depth,
+        t_max, valid, fits, pcum_end,
     )
-    esc = jnp.minimum(caps * 2, jnp.int32(config.blend_cap_max))
-    dec = jnp.maximum(caps // 2, jnp.int32(config.blend_depth_cap))
-    stay = (r <= caps) | margin_ok
-    n_grow = jnp.sum((valid & jnp.logical_not(stay)).astype(jnp.int32))
-    room = pcum_end + n_grow * jnp.int32(128) <= jnp.int32(int(ep * 0.97))
-    grow = jnp.where(
-        room,
-        jnp.minimum(caps + jnp.int32(128), jnp.int32(config.blend_cap_max)),
-        caps,
-    )
-    caps_next = jnp.where(
-        valid,
-        jnp.where(
-            stay, jnp.where(r * 2 <= caps, dec, caps), grow
-        ),
-        esc,
-    )
-    # Packed-budget overflow: shed gently until the layout re-fits.
-    shed = jnp.maximum(
-        caps - jnp.int32(128), jnp.int32(config.blend_depth_cap)
-    )
-    caps_next = jnp.where(fits, caps_next, shed)
 
     def full_path(_):
         return blend_kernel.blend_tiles_pallas_flat(
@@ -555,15 +715,31 @@ def capped_finish(
 
     img = lax.cond(ok, lambda _: img, patch_or_full, 0)
     ok = ok | patchable  # "cheap path" indicator for stats/telemetry
+    if thr is not None:
+        n_unfix = jnp.sum(
+            (jnp.logical_not(valid) & (thr != jnp.uint32(SENTINEL))).astype(
+                jnp.int32
+            )
+        )
+        # A patched prefiltered tile is still missing its dropped tail.
+        ok = ok & (n_unfix == 0)
+    else:
+        n_unfix = jnp.int32(0)
     stats = jnp.stack(
         [
-            jnp.sum(jnp.logical_not(valid).astype(jnp.int32)),
+            n_invalid,
             fits.astype(jnp.int32),
             pcum_end.astype(jnp.int32),
             n_grow,
+            n_unfix,
         ]
     )
-    return img, caps_next, ok, stats
+    caps_out = (
+        CapsState(caps=caps_next, thr=thr_next, floor=floor_next)
+        if is_state
+        else caps_next
+    )
+    return img, caps_out, ok, stats
 
 
 def blend_tiles_capped_split(elements, ranges, frame, config, caps):
@@ -572,7 +748,8 @@ def blend_tiles_capped_split(elements, ranges, frame, config, caps):
     Like blend_tiles_capped_temporal but dispatches three jitted programs
     (intermediate arrays stay on device) and additionally returns a
     diagnostics vector: returns (img, caps_next, ok,
-    [n_invalid, fits, packed_end, n_grow])."""
+    [n_invalid, fits, packed_end, n_grow, n_unfix]).  `caps` may be a
+    [T] i32 array or a CapsState (threshold prefilter enabled)."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
     ta, tb, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(

@@ -83,6 +83,7 @@ def generate_sort_elements(
     cam_pos,
     config: RenderConfig,
     capacity: int,
+    depth_thr=None,
 ):
     """Full InitSortList pass over the gaussian table.
 
@@ -93,6 +94,12 @@ def generate_sort_elements(
       config: static render config (trace-time constants, the push-constant/
         spec-constant equivalent).
       capacity: static sort-element capacity E.
+      depth_thr: optional [num_tiles] uint32 temporal depth-threshold map
+        (ops/prefilter.py): gaussians provably behind every touched tile's
+        threshold emit no elements, so the expansion/sort/ranges run on a
+        smaller live list (and, with a matching smaller `capacity`, smaller
+        programs).  None or an all-SENTINEL map reproduces the reference's
+        unfiltered behavior bit-for-bit.
 
     Returns (SortElements, GaussianFrameData).
     """
@@ -138,7 +145,16 @@ def generate_sort_elements(
     # --- element allocation (scan replaces atomicAdd) ---------------------
     w = extents[:, 2] - extents[:, 0]
     h = extents[:, 3] - extents[:, 1]
-    counts = jnp.where(visible, w * h, 0).astype(jnp.int32)
+    emit = visible
+    if depth_thr is not None:
+        from . import prefilter
+
+        dil = prefilter.dilate_thresholds(depth_thr, config)
+        keep = prefilter.gaussian_keep_mask(
+            screen_pos, extents, depth, dil, config
+        )
+        emit = emit & keep
+    counts = jnp.where(emit, w * h, 0).astype(jnp.int32)
     cum = jnp.cumsum(counts)
     total = cum[-1] if n > 0 else jnp.int32(0)
     offsets = cum - counts  # exclusive
