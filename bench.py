@@ -350,41 +350,62 @@ def main():
             caps_cell[0] = caps_next
         return d
 
-    def make_chained(cap_e=capacity, filtered=False):
-        """Per-pass jits chained by async dispatch — identical dataflow,
-        but each pass compiles as its own (cacheable) program.
+    dig = jax.jit(
+        lambda img, count: jnp.sum(img[::97, ::97, 0])
+        + count.astype(jnp.float32) * jnp.float32(1e-9)
+    )
 
-        cap_e: static sort-element capacity for this program set.  The
-        steady set (filtered=True) runs keygen with the temporal depth
-        thresholds and a smaller cap_e, so expansion/sort/ranges shrink;
-        the warmup set runs unfiltered at the full capacity (thresholds
-        converge there before the switch)."""
+    def view_of(eps):
+        # Host-side camera perturbation (so nothing constant-folds across
+        # frames): a 64-byte transfer per frame, no extra device program.
+        v = np.array(view, dtype=np.float32)
+        v[2, 3] += eps
+        return jnp.asarray(v)
+
+    plan_cell = [None]
+
+    def make_plan_dispatch():
+        """The production big-scene path: pipeline.ChainedTemporalPlan
+        (per-pass chained dispatch + temporal CapsState + prefilter steady
+        set) — the same code `Renderer.draw` runs, driven by the bench's
+        fetch-free protocol."""
+        from vk3dgaussiansplatting_tpu.pipeline import ChainedTemporalPlan
+
+        plan = ChainedTemporalPlan(
+            config, capacity, steady_frac=steady_frac, log=log
+        )
+        plan_cell[0] = plan
+        caps_cell[0] = plan.state  # share telemetry with the warmup logs
+
+        def dispatch_fn(eps):
+            img = plan.frame(table, view_of(float(eps)), pj, cj)
+            caps_cell[0] = plan.state
+            ok_cell[0] = ok_cell[0] + plan.last_ok.astype(jnp.int32)
+            ok_cell[1] += 1
+            ok_cell[2] = plan.last_stats
+            count_cell[0] = plan.last_count
+            # stays a device scalar: run() fetches once at the end
+            return dig(img, plan.last_count)
+
+        return dispatch_fn
+
+    def make_chained():
+        """Chained per-pass dispatch for NON-capped big-scene modes
+        (flat/xla blend A/Bs)."""
         from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
         from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
         from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
 
         # Big operands ride as explicit jit ARGS — closure-captured device
         # arrays hung the remote compile helper on the 14M sort (2026-08-21).
-        if filtered:
-            kg = jax.jit(
-                lambda eps, t, thr: keygen_ops.generate_sort_elements(
-                    t, vj.at[2, 3].add(eps), pj, cj, config, cap_e,
-                    depth_thr=thr,
-                )
+        kg = jax.jit(
+            lambda eps, t: keygen_ops.generate_sort_elements(
+                t, vj.at[2, 3].add(eps), pj, cj, config, capacity
             )
-        else:
-            kg = jax.jit(
-                lambda eps, t: keygen_ops.generate_sort_elements(
-                    t, vj.at[2, 3].add(eps), pj, cj, config, cap_e
-                )
-            )
+        )
         so = jax.jit(lambda el: sort_ops.sort_elements(el, config))
         rg = jax.jit(lambda el: ranges_ops.find_ranges(el, config.num_tiles))
         bl = jax.jit(make_blend_fn(config, blend_mode))
-        dig = jax.jit(
-            lambda img, count: jnp.sum(img[::97, ::97, 0])
-            + count.astype(jnp.float32) * jnp.float32(1e-9)
-        )
 
         first = [True]
 
@@ -392,10 +413,7 @@ def main():
             # First call: log after each pass's (slow, remote) compile so
             # the tpu_run stall detector sees liveness between compiles.
             t0 = time.time()
-            if filtered:
-                el, fr = kg(eps, table, caps_cell[0].thr)
-            else:
-                el, fr = kg(eps, table)
+            el, fr = kg(eps, table)
             count_cell[0] = el.count
             if first[0]:
                 log(f"  [compile] keygen done t+{time.time()-t0:.0f}s")
@@ -405,22 +423,7 @@ def main():
             r = rg(el)
             if first[0]:
                 log(f"  [compile] ranges done t+{time.time()-t0:.0f}s")
-            if capped_mode:
-                # Split-phase dispatch: the dominant feature gather runs as
-                # its own program with parameter operands (ops/capped.py
-                # split-phase rationale).
-                from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
-
-                img, caps_cell[0], ok, st = (
-                    capped_ops.blend_tiles_capped_split(
-                        el, r, fr, config, caps_cell[0]
-                    )
-                )
-                ok_cell[0] = ok_cell[0] + ok.astype(jnp.int32)
-                ok_cell[1] += 1
-                ok_cell[2] = st
-            else:
-                img = bl(el, r, fr)
+            img = bl(el, r, fr)
             out = dig(img, el.count)
             if first[0]:
                 log(f"  [compile] blend+digest done t+{time.time()-t0:.0f}s")
@@ -432,11 +435,19 @@ def main():
     # At garden scale the single-frame monolithic program breaks the remote
     # compile helper (transport broken pipe after ~25 min, observed 2026-08-20)
     # AND risks wedging the tunnel; go straight to per-pass dispatch there.
+    # The capped TPU path always uses the production ChainedTemporalPlan
+    # (pipeline.py — the same code Renderer.draw runs), which also carries
+    # the depth-prefilter steady set.
     big_scene = on_tpu and target_elems > 6_000_000
-    dispatch = [make_chained() if big_scene else frame_digest]
-    if big_scene:
+    if capped_mode and on_tpu:
+        dispatch = [make_plan_dispatch()]
+        log("chained per-pass dispatch via pipeline.ChainedTemporalPlan")
+    elif big_scene:
+        dispatch = [make_chained()]
         log("big scene: chained per-pass dispatch (monolithic frame program "
             "breaks the remote compiler at this scale)")
+    else:
+        dispatch = [frame_digest]
 
     def run(num_frames):
         d = None
@@ -445,15 +456,7 @@ def main():
         return float(d)
 
     t0 = time.time()
-    try:
-        run(1)
-    except Exception as e:  # noqa: BLE001 — remote compile can die; fall back
-        if big_scene:
-            raise
-        log(f"monolithic frame compile failed ({type(e).__name__}); "
-            f"falling back to chained per-pass dispatch")
-        dispatch[0] = make_chained()
-        run(1)
+    run(1)
     log(f"compile+first frame in {time.time()-t0:.0f}s")
     if capped_mode:
         # Converge the temporal caps before timing (the production steady
@@ -475,36 +478,19 @@ def main():
         else:
             log("caps warmup done (ok not tracked on monolithic dispatch)")
 
-    if capped_mode and prefilter_on and big_scene:
+    if capped_mode and prefilter_on and plan_cell[0] is not None:
         # Steady-state switch: the warmup converged the per-tile caps AND
         # published the depth thresholds; from here keygen drops
         # past-saturation gaussians, so the per-element passes re-compile
-        # at a smaller static capacity.  Probe frames (fetched, excluded
-        # from timing) confirm the filtered live count actually fits.
-        steady_cap = -(-int(capacity * steady_frac) // 512) * 512
+        # at a smaller static capacity.  Probe frames (inside
+        # try_steady_switch; fetched, excluded from timing) confirm the
+        # filtered live count actually fits.
+        plan = plan_cell[0]
         log(f"steady switch: capacity {capacity/1e6:.2f}M -> "
-            f"{steady_cap/1e6:.2f}M (frac {steady_frac})")
-        steady_dispatch = make_chained(steady_cap, filtered=True)
+            f"{plan.steady_capacity/1e6:.2f}M (frac {steady_frac})")
         t0 = time.time()
-        fits_steady = True
-        for j in range(4):
-            steady_dispatch(jnp.float32(20 + j) * jnp.float32(1e-5))
-            cnt = int(count_cell[0])
-            st = [int(v) for v in np.asarray(ok_cell[2])]
-            log(f"  steady frame {j}: live={cnt/1e6:.2f}M/"
-                f"{steady_cap/1e6:.2f}M stats={st}")
-            if cnt >= steady_cap:
-                fits_steady = False
-                break
-        if fits_steady:
-            dispatch[0] = steady_dispatch
+        if plan.try_steady_switch(table, view_of(2.0e-4), pj, cj):
             log(f"steady set active (compile+probe {time.time()-t0:.0f}s)")
-        else:
-            # Overflow dropped arbitrary elements; let the full set re-run
-            # a couple of frames so the temporal state re-validates.
-            log("steady capacity overflow; staying on the full set")
-            for j in range(2):
-                dispatch[0](jnp.float32(30 + j) * jnp.float32(1e-5))
     t0 = time.perf_counter()
     run(1)
     t1 = time.perf_counter() - t0

@@ -88,6 +88,11 @@ def main():
                     help="also time the capped blend path at this cap")
     ap.add_argument("--scene-gen", default="cloud",
                     choices=["cloud", "surface"])
+    ap.add_argument("--prefilter-diag", action="store_true",
+                    help="temporal depth-prefilter diagnostic: converge the "
+                         "caps+thresholds, then report kept gaussian/element "
+                         "fractions under the published threshold map "
+                         "(drives --steady-frac)")
     ap.add_argument("--keygen-diag", action="store_true",
                     help="sub-time the expansion kernel on the real cull "
                          "pattern (keygen cost split)")
@@ -279,6 +284,73 @@ def main():
                 f"({100*kept/max(tot,1):.1f}%)  [{time.time()-t0:.0f}s]",
                 flush=True,
             )
+
+    if args.prefilter_diag:
+        # Converge caps+thresholds on the pinned camera, then measure how
+        # much of the scene the published threshold map would drop at
+        # keygen — the number that sizes bench.py's --steady-frac.
+        import dataclasses as _dc
+
+        from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
+        from vk3dgaussiansplatting_tpu.ops import prefilter
+        from vk3dgaussiansplatting_tpu.render import project as prj
+
+        cfg_t = (
+            config
+            if config.blend_depth_cap > 0
+            else _dc.replace(config, blend_depth_cap=384)
+        )
+        conv = jax.jit(
+            lambda se, rg, fr, st: capped_ops.blend_tiles_capped_temporal(
+                se, rg, fr, cfg_t, st
+            )
+        )
+        state = capped_ops.init_caps_state(cfg_t)
+        for it in range(10):
+            t0 = time.time()
+            _img, state, ok = conv(sorted_elems, ranges, frame, state)
+            nf = int(
+                jnp.sum(
+                    (state.thr != jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
+                )
+            )
+            print(
+                f"  pf converge it={it} ok={bool(ok)} "
+                f"finite_thr={nf}/{cfg_t.num_tiles} "
+                f"caps_mean={float(jnp.mean(state.caps.astype(jnp.float32))):.0f} "
+                f"[{time.time()-t0:.0f}s]",
+                flush=True,
+            )
+
+        @jax.jit
+        def keepstats(tb, thr):
+            pos_view = prj.view_transform(tb.position, vj)
+            ndc = prj.ndc_position(pos_view, pj)
+            visible = keygen_ops.cull_mask(pos_view, ndc, cfg_t)
+            cov2d = prj.compute_cov2d(tb.scale, tb.rot, pos_view, vj, cfg_t)
+            sp = prj.screen_space_position(pos_view, pj, cfg_t)
+            ext = prj.tile_extents(sp, cov2d, cfg_t)
+            depth = prj.depth_key(pos_view[:, 2], cfg_t)
+            dil = prefilter.dilate_thresholds(thr, cfg_t)
+            keep = prefilter.gaussian_keep_mask(sp, ext, depth, dil, cfg_t)
+            w = ext[:, 2] - ext[:, 0]
+            h = ext[:, 3] - ext[:, 1]
+            c_full = jnp.where(visible, w * h, 0)
+            c_keep = jnp.where(visible & keep, w * h, 0)
+            return (
+                jnp.sum(visible.astype(jnp.int32)),
+                jnp.sum((visible & keep).astype(jnp.int32)),
+                jnp.sum(c_full),
+                jnp.sum(c_keep),
+            )
+
+        nv, nk, ef, ek = [int(x) for x in keepstats(table, state.thr)]
+        print(
+            f"prefilter-diag: gaussians kept {nk}/{nv} "
+            f"({100*nk/max(nv,1):.1f}%), elements kept "
+            f"{ek/1e6:.2f}M/{ef/1e6:.2f}M ({100*ek/max(ef,1):.1f}%)",
+            flush=True,
+        )
 
     if args.cap:
         from vk3dgaussiansplatting_tpu.ops import capped as capped_ops

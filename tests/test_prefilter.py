@@ -360,3 +360,37 @@ def test_split_phase_matches_monolithic_with_state():
             )
         np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_s))
     assert (np.asarray(state_m.thr) != SENTINEL).any()
+
+
+def test_chained_plan_steady_switch_end_to_end():
+    """pipeline.ChainedTemporalPlan (the production big-scene path, also
+    driven by bench.py): warmup at full capacity, steady switch to the
+    smaller filtered capacity, frames stay within the 8-bit contract."""
+    from vk3dgaussiansplatting_tpu.pipeline import ChainedTemporalPlan
+
+    table, n = _walled_scene(n_front=1200, n_back=600)
+    cam = _camera()
+    tbl, view, proj, pos = _frame_inputs(table, cam)
+    capacity = PF_CONFIG.sort_capacity(n)
+    img_full, count_full = _full_reference(
+        tbl, view, proj, pos, capacity, PF_CONFIG
+    )
+    qf = np.round(img_full * 255.0).astype(np.int32)
+
+    logs = []
+    plan = ChainedTemporalPlan(
+        PF_CONFIG, capacity, steady_frac=0.9, log=logs.append
+    )
+    for _ in range(8):  # warmup (full capacity, unfiltered keygen)
+        img = plan.frame(tbl, view, proj, pos)
+        q = np.round(np.asarray(img) * 255.0).astype(np.int32)
+        assert np.abs(q - qf).max() <= 1
+    assert int(plan.last_count) == count_full
+    switched = plan.try_steady_switch(tbl, view, proj, pos)
+    assert switched, logs
+    assert plan.mode == "steady"
+    for _ in range(2):
+        img = plan.frame(tbl, view, proj, pos)
+        q = np.round(np.asarray(img) * 255.0).astype(np.int32)
+        assert np.abs(q - qf).max() <= 1
+    assert int(plan.last_count) < count_full  # prefilter active

@@ -34,6 +34,9 @@ from .ops import ranges as ranges_ops
 from .ops import sort as sort_ops
 
 
+_quantize_jit = jax.jit(lambda img: blend_ops.quantize_image(img))
+
+
 class FrameOutputs(NamedTuple):
     """One rendered frame plus inspection intermediates."""
 
@@ -119,10 +122,172 @@ def render_frame_temporal(
     )
 
 
+class ChainedTemporalPlan:
+    """Per-pass chained dispatch with the temporal capped blend and the
+    depth-prefilter steady set — the production big-scene frame plan.
+
+    A monolithic garden-scale frame program breaks the remote TPU compiler
+    (transport broken pipe after ~25 min; CLAUDE.md), so big scenes
+    dispatch each pass as its own cacheable program:
+
+        keygen -> sort -> find_ranges -> capped_layout -> capped_gather
+        -> capped_finish
+
+    with the temporal CapsState (caps + prefilter thresholds + decay
+    floors, ops/capped.py) carried across frames as device arrays.  After
+    `warmup_frames` frames the caller may call `try_steady_switch()`:
+    keygen then drops past-saturation gaussians against the published
+    thresholds and keygen/sort/ranges re-compile at `steady_frac` of the
+    full capacity — the single biggest frame-cost lever (every per-element
+    pass scales with the static capacity).
+
+    Reference analogue: `Renderer::draw` + `recordCommandBuffer`
+    (Renderer.cpp:297, 540-629); the per-pass programs play the command
+    buffer's role, with barriers implicit in the program chain.
+    """
+
+    def __init__(
+        self,
+        config: RenderConfig,
+        capacity: int,
+        *,
+        steady_frac: float = 0.62,
+        log=None,
+    ):
+        from .ops import capped as capped_ops
+
+        assert config.blend_depth_cap > 0, "temporal plan needs a cap"
+        self.config = config
+        self.capacity = capacity
+        self.prefilter_on = steady_frac > 0
+        self.steady_capacity = (
+            -(-int(capacity * steady_frac) // 512) * 512
+            if self.prefilter_on
+            else None
+        )
+        self.state = (
+            capped_ops.init_caps_state(config)
+            if self.prefilter_on
+            else capped_ops.init_caps(config)
+        )
+        self.mode = "full"  # "full" | "steady"
+        self.frames = 0
+        self._log = log or (lambda *a: None)
+        self._sets = {}
+        self._first = set()
+        # Device-array telemetry of the last frame (fetch = host sync).
+        self.last_ok = None
+        self.last_stats = None
+        self.last_count = None
+
+    def _passes(self, cap_e: int, filtered: bool):
+        key = (cap_e, filtered)
+        if key not in self._sets:
+            config = self.config
+            if filtered:
+                kg = jax.jit(
+                    lambda t, v, p, c, thr: keygen_ops.generate_sort_elements(
+                        t, v, p, c, config, cap_e, depth_thr=thr
+                    )
+                )
+            else:
+                kg = jax.jit(
+                    lambda t, v, p, c: keygen_ops.generate_sort_elements(
+                        t, v, p, c, config, cap_e
+                    )
+                )
+            so = jax.jit(lambda el: sort_ops.sort_elements(el, config))
+            rg = jax.jit(
+                lambda el: ranges_ops.find_ranges(el, config.num_tiles)
+            )
+            self._sets[key] = (kg, so, rg)
+        return self._sets[key]
+
+    def frame(self, table, view, proj, cam_pos):
+        """Dispatch one frame; returns the [H, W, 3] float32 device image.
+
+        Nothing is fetched: the image, ok flag, stats vector, and element
+        count stay on device (async dispatch) — read `.last_*` to sync.
+        """
+        import time as _time
+
+        from .ops import capped as capped_ops
+
+        filtered = self.mode == "steady"
+        cap_e = self.steady_capacity if filtered else self.capacity
+        kg, so, rg = self._passes(cap_e, filtered)
+        first = (cap_e, filtered) not in self._first
+        t0 = _time.time()
+        if filtered:
+            el, fr = kg(table, view, proj, cam_pos, self.state.thr)
+        else:
+            el, fr = kg(table, view, proj, cam_pos)
+        if first:
+            self._log(f"  [compile] keygen done t+{_time.time()-t0:.0f}s")
+        el = so(el)
+        if first:
+            self._log(f"  [compile] sort done t+{_time.time()-t0:.0f}s")
+        r = rg(el)
+        if first:
+            self._log(f"  [compile] ranges done t+{_time.time()-t0:.0f}s")
+        img, self.state, ok, st = capped_ops.blend_tiles_capped_split(
+            el, r, fr, self.config, self.state
+        )
+        if first:
+            self._log(f"  [compile] blend done t+{_time.time()-t0:.0f}s")
+            self._first.add((cap_e, filtered))
+        self.last_ok, self.last_stats, self.last_count = ok, st, el.count
+        self.frames += 1
+        return img
+
+    def try_steady_switch(self, table, view, proj, cam_pos, probes: int = 3):
+        """Probe the prefiltered live count and switch to the steady set.
+
+        Runs `probes` filtered frames (each fetches the live count — host
+        syncs, so exclude from timing) and flips to steady mode if the
+        filtered list fits the smaller capacity.  Returns True on switch.
+        """
+        if not self.prefilter_on or self.mode == "steady":
+            return self.mode == "steady"
+        self.mode = "steady"
+        for j in range(probes):
+            self.frame(table, view, proj, cam_pos)
+            cnt = int(self.last_count)
+            self._log(
+                f"  steady probe {j}: live={cnt/1e6:.2f}M/"
+                f"{self.steady_capacity/1e6:.2f}M "
+                f"stats={[int(v) for v in np.asarray(self.last_stats)]}"
+            )
+            if cnt >= self.steady_capacity:
+                self.mode = "full"
+                self._log("steady capacity overflow; staying on full set")
+                # the overflow frame dropped arbitrary elements; let the
+                # temporal state re-validate on the full set
+                for _ in range(2):
+                    self.frame(table, view, proj, cam_pos)
+                return False
+        return True
+
+
 class Renderer:
     """Scene-bound renderer (reference: Renderer + initForScene)."""
 
-    def __init__(self, config: RenderConfig, *, use_pallas_blend: bool | None = None):
+    # Above this capacity the monolithic frame program breaks the remote
+    # TPU compiler (CLAUDE.md); the renderer switches to the chained
+    # per-pass plan (ChainedTemporalPlan).
+    BIG_SCENE_CAPACITY = 6_000_000
+    # Frames of full-capacity warmup before the chained plan probes the
+    # depth-prefilter steady switch (caps/threshold convergence takes
+    # <= log2(cap_max / cap) escalations plus margin-growth frames).
+    WARMUP_FRAMES = 14
+
+    def __init__(
+        self,
+        config: RenderConfig,
+        *,
+        use_pallas_blend: bool | None = None,
+        steady_frac: float = 0.62,
+    ):
         self.config = config
         if use_pallas_blend is None:
             use_pallas_blend = jax.default_backend() == "tpu"
@@ -131,7 +296,9 @@ class Renderer:
         # Pallas blend is on and blend_depth_cap > 0.  The caps array is the
         # renderer's only cross-frame state (reset per scene).
         self.temporal_caps = use_pallas_blend and config.blend_depth_cap > 0
+        self.steady_frac = steady_frac
         self._caps = None
+        self._plan: ChainedTemporalPlan | None = None
         self.table: GaussianTable | None = None
         self.capacity: int | None = None
 
@@ -139,6 +306,13 @@ class Renderer:
         """Upload the gaussian table and fix static sizes (Renderer.cpp:712)."""
         self.capacity = self.config.sort_capacity(table.num_gaussians)
         self._caps = None  # temporal caps reset on scene swap
+        self._plan = None
+        if self.temporal_caps and self.capacity > self.BIG_SCENE_CAPACITY:
+            self._plan = ChainedTemporalPlan(
+                self.config,
+                self.capacity,
+                steady_frac=self.steady_frac,
+            )
         self.table = jax.device_put(
             GaussianTable(
                 position=jnp.asarray(table.position, dtype=jnp.float32),
@@ -154,6 +328,27 @@ class Renderer:
         if self.table is None:
             raise RuntimeError("call init_for_scene() first")
         view, proj = camera.matrices()
+        if self._plan is not None:
+            # Big-scene production path: chained per-pass dispatch with the
+            # temporal capped blend and the depth-prefilter steady set.
+            args = (
+                self.table,
+                jnp.asarray(view),
+                jnp.asarray(proj),
+                jnp.asarray(camera.position, dtype=jnp.float32),
+            )
+            if (
+                self._plan.mode == "full"
+                and self._plan.prefilter_on
+                and self._plan.frames >= self.WARMUP_FRAMES
+            ):
+                self._plan.try_steady_switch(*args)
+            image = self._plan.frame(*args)
+            return FrameOutputs(
+                image_u8=_quantize_jit(image),
+                image=image,
+                num_elements=self._plan.last_count,
+            )
         if self.temporal_caps:
             from .ops import capped as capped_ops
 
