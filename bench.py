@@ -192,12 +192,16 @@ def main():
     ap.add_argument("--no-prefilter", action="store_true",
                     help="alias for --steady-frac 0")
     ap.add_argument("--scene-gen", default="cloud",
-                    choices=["cloud", "surface"],
+                    choices=["cloud", "surface", "ply-surface"],
                     help="procedural stand-in generator: random cloud "
-                         "(calibrated default) or surface-structured "
+                         "(calibrated default), surface-structured "
                          "(clustered tangential disks, bimodal opacity — "
                          "closer saturation/overlap statistics to real "
-                         "captures)")
+                         "captures), or ply-surface (the surface scene "
+                         "exported as a capture-format binary .ply and "
+                         "loaded back through the full ResourceManager-"
+                         "equivalent path: native parser, activations, "
+                         "Morton sort)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU platform is "
                          "the default even without hardware flags; local "
@@ -246,7 +250,31 @@ def main():
     log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
         f"target_elems={target_elems} blend={blend_mode} sort={args.sort}")
     t0 = time.time()
-    if args.scene_gen == "surface":
+    if args.scene_gen == "ply-surface":
+        # Capture-format round trip: export the surface scene as a binary
+        # .ply once, then load it through the full ResourceManager-
+        # equivalent path (native parser + activations + Morton sort,
+        # io/ply.py:load_gaussians) — the reference's prime artifact flow
+        # (ResourceManager.cpp:167-300 + GardenScene.cpp:9-16).
+        import os as _os
+
+        from vk3dgaussiansplatting_tpu.io.ply import (
+            load_gaussians,
+            write_gaussian_ply,
+        )
+
+        ply_path = _os.path.expanduser(
+            f"~/.cache/vk3dgs_surface_{n_gauss}_{args.seed}.ply"
+        )
+        if not _os.path.exists(ply_path):
+            t = procedural_surface_table(n_gauss, seed=args.seed)
+            log(f"exporting surface capture -> {ply_path}")
+            write_gaussian_ply(ply_path, t)
+            del t
+        host_table = load_gaussians(ply_path)
+        log(f"loaded {host_table.num_gaussians} gaussians from .ply "
+            f"(native parser + Morton) in {time.time()-t0:.1f}s")
+    elif args.scene_gen == "surface":
         host_table = procedural_surface_table(n_gauss, seed=args.seed)
     else:
         host_table = procedural_cloud_table(

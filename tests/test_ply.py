@@ -116,3 +116,43 @@ def test_full_ply_pipeline_morton_sorted(tmp_path, rng):
     # Morton order of loaded positions must be the identity (already sorted).
     order = morton_order(table.position)
     np.testing.assert_array_equal(order, np.arange(50))
+
+
+def test_gaussian_ply_export_round_trip(tmp_path):
+    """write_gaussian_ply inverts the reference's load transforms: a
+    surface-scene table exported and re-loaded (parser + activations +
+    Morton) matches the original up to float32 exp/log round-trips."""
+    from vk3dgaussiansplatting_tpu.io.ply import (
+        load_gaussians,
+        write_gaussian_ply,
+    )
+    from vk3dgaussiansplatting_tpu.scenes.synthetic import (
+        procedural_surface_table,
+    )
+
+    table = procedural_surface_table(500, seed=5)
+    path = tmp_path / "surface.ply"
+    write_gaussian_ply(path, table)
+    loaded = load_gaussians(path, morton_sort=False)
+
+    np.testing.assert_allclose(
+        loaded.position, table.position, rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(loaded.scale, table.scale, rtol=2e-6)
+    # quaternion sign is normalized away by rotation semantics; compare up
+    # to the stored permutation round trip exactly
+    np.testing.assert_allclose(loaded.rot, table.rot, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        loaded.opacity, table.opacity, rtol=0, atol=2e-6
+    )
+    np.testing.assert_allclose(loaded.sh, table.sh, rtol=0, atol=1e-6)
+
+    # Morton-sorted load is a permutation of the same table
+    sorted_loaded = load_gaussians(path, morton_sort=True)
+    assert sorted_loaded.num_gaussians == table.num_gaussians
+    np.testing.assert_allclose(
+        np.sort(np.asarray(sorted_loaded.opacity)),
+        np.sort(np.asarray(table.opacity)),
+        rtol=0,
+        atol=2e-6,
+    )

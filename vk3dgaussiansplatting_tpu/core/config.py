@@ -106,17 +106,26 @@ class RenderConfig:
     # bitonic path; kept for behavioural parity, optional otherwise).
     capacity_pow_two: bool = True
     # Element-expansion strategy in keygen:
+    #   "pallas2" — paired-window Pallas kernel (expand2_kernel.py): packs
+    #               the per-gaussian row into 3 columns + cumsum so every
+    #               [8,128] crossbar serves TWO windows (~2x the round-3
+    #               kernel).  Needs n < 2^23, grid dims <= 127, tiles
+    #               <= 2^13 (all benchmark scenes qualify).
     #   "pallas"  — windowed Pallas kernel (ops/pallas/expand_kernel.py):
     #               compare-count + vreg crossbar gathers; no XLA scatter,
-    #               no per-row gather.  Production tier on TPU.
+    #               no per-row gather.
     #   "repeat"  — jnp.repeat (XLA scatter + one ~6.5 ns/row gather).
-    #   "auto"    — pallas on TPU, repeat elsewhere.
+    #   "auto"    — pallas2 (pallas where it doesn't fit) on TPU, repeat
+    #               elsewhere.
     expansion_method: str = "auto"
     # Pallas blend batch width (elements per cooperative batch; the
     # reference's ENTIRE_GROUP_SIZE=256 widened to fill VPU lanes).  Must be
     # a multiple of 128 (DMA lane alignment).  Smaller batches waste fewer
-    # trailing lanes on short tile ranges at the cost of more DMAs.
-    blend_batch_k: int = 512
+    # trailing lanes on short tile ranges at the cost of more DMAs; the
+    # exclusive cumprod is log2(bk) [256, bk] multiplies per batch.  v5e
+    # sweep 256/512/768/1024 = 45.8/39.1/36.2/48.5 ms at garden steady
+    # state (2026-08-21, r4) -> 768.
+    blend_batch_k: int = 768
     # Saturation-truncation cap (ops/capped.py): > 0 blends only each tile's
     # first `cap` sorted elements and gathers features for those alone,
     # falling back in-graph to the full blend when any tile is not provably

@@ -179,6 +179,33 @@ def write_ply(
                 f.write((" ".join(repr(float(v)) for v in row) + "\n").encode())
 
 
+def write_gaussian_ply(path: str | os.PathLike, table) -> None:
+    """Export a GaussianTable as a capture-format binary .ply.
+
+    Property order follows the reference's expectations
+    (ResourceManager.cpp:176-222): x y z, scale_0..2, rot_0..3, opacity,
+    f_dc_0..2, f_rest_0..44 — so the exported file round-trips through
+    `load_gaussians` (incl. the native fast path) like a real trained
+    capture.
+    """
+    from ..models.gaussians import raw_ply_columns_from_table
+
+    raw = raw_ply_columns_from_table(table)
+    columns: dict[str, np.ndarray] = {}
+    for i, name in enumerate(("x", "y", "z")):
+        columns[name] = raw["xyz"][:, i]
+    for i in range(3):
+        columns[f"scale_{i}"] = raw["scales"][:, i]
+    for i in range(4):
+        columns[f"rot_{i}"] = raw["rots"][:, i]
+    columns["opacity"] = raw["opacities"]
+    for i in range(3):
+        columns[f"f_dc_{i}"] = raw["f_dc"][:, i]
+    for i in range(45):
+        columns[f"f_rest_{i}"] = raw["f_rest"][:, i]
+    write_ply(path, columns, binary=True)
+
+
 def gaussian_columns_from_ply(path: str | os.PathLike):
     """Extract the 59 gaussian-splatting property columns from a ply file.
 

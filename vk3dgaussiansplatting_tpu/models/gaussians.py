@@ -145,6 +145,43 @@ def from_raw_ply_columns(
     return table
 
 
+def raw_ply_columns_from_table(table: GaussianTable) -> dict:
+    """Invert the reference's load-time transforms (from_raw_ply_columns):
+    produce the raw .ply property columns whose load reproduces `table`
+    (up to float32 exp/log and sigmoid/logit round-trips).
+
+    Used to export procedural scenes as real capture-format .ply files so
+    the full ResourceManager-equivalent load path (parser, activations,
+    Morton sort — ResourceManager.cpp:167-300) can be exercised and
+    benchmarked at scene scale.
+    """
+    pos = np.asarray(table.position, np.float32)
+    xyz = np.stack([-pos[:, 0], -pos[:, 1], pos[:, 2]], axis=1)
+    scales = np.log(np.maximum(np.asarray(table.scale, np.float32), 1e-30))
+    r = np.asarray(table.rot, np.float32)
+    # loaded (p,q,r,s) = (-c, -d, a, -b) of raw (a,b,c,d)  =>  raw =
+    # (r, -s, -p, -q)
+    rots = np.stack([r[:, 2], -r[:, 3], -r[:, 0], -r[:, 1]], axis=1)
+    o = np.clip(np.asarray(table.opacity, np.float32), 1e-6, 1.0 - 1e-6)
+    opacities = np.log(o / (1.0 - o)).astype(np.float32)
+    sh = np.asarray(table.sh, np.float32)
+    f_dc = sh[:, 0, :]
+    num_rest = NUM_SH_COEFFS - 1
+    f_rest = np.zeros((sh.shape[0], 3 * num_rest), np.float32)
+    for ch in range(3):
+        f_rest[:, num_rest * ch : num_rest * (ch + 1)] = sh[
+            :, 1 : 1 + num_rest, ch
+        ]
+    return dict(
+        xyz=xyz,
+        scales=scales,
+        rots=rots,
+        opacities=opacities,
+        f_dc=f_dc,
+        f_rest=f_rest,
+    )
+
+
 def make_gaussian(
     position,
     scale=(1.0, 1.0, 1.0),
