@@ -85,6 +85,49 @@ def main():
     assert deltas[False] <= 2e-3 and deltas[True] <= 2e-3, (
         "distributed parity violated"
     )
+
+    # ndev=1 distributed-overhead factor on the real chip: the honest
+    # lower bound for multi-chip projections (VERDICT r3 weak #6) — the
+    # distributed graph's extra passes (banding, all_to_all with slab
+    # padding, per-phase strip slicing, carry blend) vs the plain
+    # pipeline, with zero actual communication.
+    import time as _time
+
+    def timeit(f, *args, iters=6):
+        d = None
+        for _ in range(1):
+            d = f(*args)
+        jax.block_until_ready(d)
+        np.asarray(jax.tree.leaves(d)[0])  # observe completion (tunnel)
+        t0 = _time.perf_counter()
+        d = f(*args)
+        np.asarray(jax.tree.leaves(d)[0])
+        t1 = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        for _ in range(iters + 1):
+            d = f(*args)
+        np.asarray(jax.tree.leaves(d)[0])
+        tn = _time.perf_counter() - t0
+        return (tn - t1) / iters
+
+    fn_d = dist.make_distributed_render(
+        mesh, config, plan, use_pallas_blend=True
+    )
+    targs = (
+        jax.tree.map(jnp.asarray, padded),
+        jnp.asarray(view),
+        jnp.asarray(proj),
+        jnp.asarray(cam.position, dtype=jnp.float32),
+    )
+    t_dist = timeit(lambda *a: fn_d(*a)[0], *targs)
+    renderer = Renderer(config, use_pallas_blend=True)
+    renderer.init_for_scene(table)
+    t_plain = timeit(lambda c: renderer.draw(c).image, cam)
+    print(
+        f"ndev=1 overhead: dist {t_dist*1e3:.1f} ms vs plain "
+        f"{t_plain*1e3:.1f} ms -> factor {t_dist/max(t_plain,1e-9):.2f}",
+        flush=True,
+    )
     print("dist TPU check OK", flush=True)
 
 

@@ -84,12 +84,15 @@ def main():
             jnp.asarray(proj),
             jnp.asarray(cam.position, dtype=jnp.float32),
         )
-        img, live = jax.block_until_ready(fn(*targs))  # compile
-        live_total = int(np.sum(np.asarray(live)))
+        img, acct = jax.block_until_ready(fn(*targs))  # compile
+        acct_np = np.asarray(acct).reshape(-1, 4)
+        # [live_local, sent_live, recv_live, dropped] per device
+        live = acct_np[:, 2] - acct_np[:, 3]
+        live_total = int(live.sum())
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            img, live = fn(*targs)
-        np.asarray(live)  # force completion
+            img, acct = fn(*targs)
+        np.asarray(acct)  # force completion
         dt = (time.perf_counter() - t0) / args.iters
 
         rate = live_total / dt
@@ -108,15 +111,21 @@ def main():
             eff_label = f"efficiency {eff*100:.0f}%"
         dropped = base_live - live_total if live_total < base_live else 0
 
-        # Static per-device collective bytes per frame.
-        ag_bytes = (ndev - 1) / ndev * padded.num_gaussians * 48
-        a2a_bytes = 3 * 4 * ndev * plan.slab_capacity
+        # Measured exchange accounting: sent_live x per-element bytes
+        # (12 B keys+id + 36 B routed features; no frame-data all_gather
+        # on the routed path) vs the static slab capacity.
+        sent_live = int(acct_np[:, 1].sum())
+        a2a_static = (3 + 9) * 4 * ndev * plan.slab_capacity
+        a2a_live = (3 + 9) * 4 * sent_live / max(ndev, 1)
+        slab_drop = int((acct_np[:, 0] - acct_np[:, 1]).sum())
+        strip_drop = int(acct_np[:, 3].sum())
         print(
             f"ndev={ndev}: {dt*1e3:.1f} ms/frame, live={live_total/1e6:.2f}M "
-            f"({np.asarray(live).tolist()} per dev), dropped={dropped}, "
+            f"({live.tolist()} per dev), dropped={dropped}, "
             f"{rate/1e6:.2f} M live-elem/s, {eff_label}, "
-            f"collectives/dev: all_gather {ag_bytes/1e6:.1f} MB + "
-            f"all_to_all {a2a_bytes/1e6:.1f} MB",
+            f"a2a/dev: live {a2a_live/1e6:.1f} MB of "
+            f"{a2a_static/1e6:.1f} MB static "
+            f"(slab_drop={slab_drop}, strip_drop={strip_drop})",
             flush=True,
         )
         assert dropped == 0, (

@@ -159,15 +159,19 @@ def test_hot_tile_exceeding_slab_renders_without_drops():
         strip_capacity=plan.strip_capacity,
     )
     fn = dist_mod.make_distributed_render(mesh, CONFIG, tiny, return_stats=True)
-    img, live = fn(
+    img, acct = fn(
         jax.tree.map(jnp.asarray, padded),
         jnp.asarray(view),
         jnp.asarray(proj),
         jnp.asarray(cam.position, dtype=jnp.float32),
     )
     img = np.asarray(img)[: CONFIG.height, : CONFIG.width]
+    acct = np.asarray(acct).reshape(-1, 4)
     # No element was dropped anywhere (exact integer accounting)...
-    assert int(np.sum(np.asarray(live))) == ref_count
+    blended = int((acct[:, 2] - acct[:, 3]).sum())
+    assert blended == ref_count
+    # ...the accounting chain balances (local == sent == received)...
+    assert int(acct[:, 0].sum()) == int(acct[:, 1].sum()) == ref_count
     # ...and the image matches single-device within the float contract.
     np.testing.assert_allclose(img, ref, atol=2e-3)
 

@@ -106,17 +106,15 @@ class RenderConfig:
     # bitonic path; kept for behavioural parity, optional otherwise).
     capacity_pow_two: bool = True
     # Element-expansion strategy in keygen:
-    #   "pallas2" — paired-window Pallas kernel (expand2_kernel.py): packs
-    #               the per-gaussian row into 3 columns + cumsum so every
-    #               [8,128] crossbar serves TWO windows (~2x the round-3
-    #               kernel).  Needs n < 2^23, grid dims <= 127, tiles
-    #               <= 2^13 (all benchmark scenes qualify).
     #   "pallas"  — windowed Pallas kernel (ops/pallas/expand_kernel.py):
     #               compare-count + vreg crossbar gathers; no XLA scatter,
-    #               no per-row gather.
+    #               no per-row gather.  Production tier on TPU.  (A
+    #               paired-window 2-windows-per-crossbar variant was built
+    #               and retired in r4: the kernel is per-window-overhead
+    #               bound, not crossbar bound, so window sizing supersedes
+    #               pairing — docs/PERFORMANCE.md.)
     #   "repeat"  — jnp.repeat (XLA scatter + one ~6.5 ns/row gather).
-    #   "auto"    — pallas2 (pallas where it doesn't fit) on TPU, repeat
-    #               elsewhere.
+    #   "auto"    — pallas on TPU, repeat elsewhere.
     expansion_method: str = "auto"
     # Pallas blend batch width (elements per cooperative batch; the
     # reference's ENTIRE_GROUP_SIZE=256 widened to fill VPU lanes).  Must be

@@ -178,60 +178,8 @@ def generate_sort_elements(
         depth.astype(jnp.int32),
     ]
     method = config.expansion_method
-    # The paired-window kernel packs (id, w) / (tile0, h) into single
-    # columns; fall back when a dimension exceeds the packing budget.
-    pack2_ok = (
-        n < (1 << 23)
-        and config.grid_width <= 127
-        and config.grid_height <= 127
-        and config.num_tiles <= (1 << 13)
-    )
     if method == "auto":
-        method = (
-            ("pallas2" if pack2_ok else "pallas")
-            if jax.default_backend() == "tpu"
-            else "repeat"
-        )
-    if method == "pallas2":
-        # Paired-window expansion (ops/pallas/expand2_kernel.py): ~2x the
-        # crossbar/DMA efficiency of the round-3 kernel.  The covering
-        # row's cumsum rides the same crossbar, so the slot offset is
-        # re-derived as cum - w*h instead of carrying an offset column.
-        from .pallas import expand2_kernel
-
-        assert pack2_ok, "scene exceeds the pallas2 packing budget"
-        gw_c = jnp.int32(config.grid_width)
-        w_e = jnp.maximum(w, 1)
-        tile0 = extents[:, 1] * gw_c + extents[:, 0]
-        col_a = jnp.arange(n, dtype=jnp.int32) | (w_e << jnp.int32(23))
-        col_b = tile0 | (h << jnp.int32(13))
-        cols3, cum_col, total2 = expand2_kernel.expand_rows2(
-            [col_a, col_b, depth.astype(jnp.int32)], counts, capacity
-        )
-        gauss_of_slot = cols3[0] & jnp.int32((1 << 23) - 1)
-        wv = cols3[0] >> jnp.int32(23)
-        tile0_s = cols3[1] & jnp.int32((1 << 13) - 1)
-        hv = cols3[1] >> jnp.int32(13)
-        offsets_s = cum_col - wv * hv
-        local = slot - offsets_s
-        gw_safe = jnp.maximum(wv, 1)
-        ly = local // gw_safe
-        lx = local - ly * gw_safe
-        tile_key = (tile0_s + ly * gw_c + lx).astype(jnp.uint32)
-        sent = jnp.uint32(SENTINEL)
-        elements = SortElements(
-            tile=jnp.where(live, tile_key, sent),
-            depth=jnp.where(live, cols3[2].astype(jnp.uint32), sent),
-            index=jnp.where(live, gauss_of_slot.astype(jnp.uint32), sent),
-            count=jnp.minimum(total, capacity).astype(jnp.uint32),
-        )
-        frame = GaussianFrameData(
-            color_alpha=color_alpha,
-            cov2d=cov2d,
-            cov_inv=cov_inv,
-            screen_pos=screen_pos,
-        )
-        return elements, frame
+        method = "pallas" if jax.default_backend() == "tpu" else "repeat"
     if method == "pallas":
         # Pallas monotone-expansion kernel (ops/pallas/expand_kernel.py):
         # windowed compare-count + vreg crossbar gathers; avoids both the

@@ -69,7 +69,13 @@ from .common import interpret_mode
 
 # Slots per window == source rows per chunk.  One lane-group is 128; the
 # vreg crossbar gathers within 128 lanes, so both are decomposed into
-# 512/128 = 4 static groups.
+# WINDOW/128 static groups.  Sizing (r4 sweep on the real garden cull
+# pattern, scripts/r4_expand_window.py): the kernel skeleton (grid loop +
+# DMA issue) costs ~470 ns/window and scales inversely with WINDOW
+# (512/1024/2048 = 30.0/25.7/32.3 ms full-kernel), BUT W=1024 miscompiles
+# on the real chip (refill-path lanes return zeros on spans > 1 chunk;
+# interpret mode is bit-exact — scripts/expand2 check 2026-08-21), so the
+# device-verified 512 stands.  Revisit on a newer libtpu.
 WINDOW = 512
 GROUP = 128
 NBLOCKS = WINDOW // GROUP  # 4

@@ -221,10 +221,22 @@ def make_distributed_render(
     gaussian table must be padded to a multiple of the device count
     (see _pad_table).
 
-    With return_stats, returns (image, live) instead, where live is the
-    [ndev] int32 per-device count of live sorted elements actually received
-    and blended minus drops — the denominator the scaling benchmark uses
-    (capacity slots are not work).
+    With return_stats, returns (image, stats) instead, where stats is a
+    per-device [4] int32 accounting vector
+    [live_local, sent_live, recv_live, dropped]:
+
+      live_local — elements generated by this device's keygen shard;
+      sent_live  — live elements this device put into the all_to_all slabs
+                   (slab capacity minus sentinel padding; live_local minus
+                   sent_live = slab-overflow drops);
+      recv_live  — live elements received, sorted, and available to the
+                   banded blend;
+      dropped    — elements truncated by the per-phase strip windows.
+
+    recv_live - dropped is the per-device blended-work denominator the
+    scaling benchmark uses (capacity slots are not work); sent_live x
+    element bytes is the measured exchange volume (12 B/element keys+id,
+    +36 B/element routed features when route_features).
     """
     ndev = dist.num_devices
     tiles_per_dev = dist.tile_rows_per_device * config.grid_width
@@ -294,6 +306,11 @@ def make_distributed_render(
         )
         cols = [elements.tile, elements.depth, elements.index, *feat_u32]
         slabs = _bucket_by_destination(cols, dest, ndev, dist.slab_capacity)
+        if return_stats:
+            live_local = jnp.sum(live.astype(jnp.int32))
+            sent_live = jnp.sum(
+                (slabs[:, :, 0] != jnp.uint32(SENTINEL)).astype(jnp.int32)
+            )
         recv = lax.all_to_all(slabs, SHARD_AXIS, 0, 0, tiled=False)
         recv = recv.reshape(-1, len(cols))
 
@@ -414,8 +431,15 @@ def make_distributed_render(
         # strip d (its own image rows).
         strip = blend_ops.assemble_tile_colors(colors, strip_config)
         if return_stats:
-            blended = count.astype(jnp.int32) - dropped.astype(jnp.int32)
-            return strip, blended.reshape(1)
+            acct = jnp.stack(
+                [
+                    live_local,
+                    sent_live,
+                    count.astype(jnp.int32),
+                    dropped.astype(jnp.int32),
+                ]
+            )
+            return strip, acct.reshape(1, 4)
         # Default path surfaces the strip-window overflow count: dropped
         # elements silently degrade the image (advisor r3 medium), so the
         # count rides out with every frame instead of hiding behind
