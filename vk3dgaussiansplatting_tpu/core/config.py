@@ -149,6 +149,16 @@ class RenderConfig:
     # the 2x jump for genuinely invalid tiles) so the packed budget
     # converges instead of overshooting into overflow-decay limit cycles.
     cap_escalate_margin: float = 0.3
+    # Depth-threshold publication bar (ops/prefilter.py), as a multiple of
+    # transmittance_stop: a valid tile publishes its capped-end depth as
+    # the next frame's prefilter threshold when every pixel's T is below
+    # stop * this factor.  Sits between the escalation margin (0.3x, the
+    # caps' convergence target) and the validation bar (4x): publishing at
+    # 1.0 keeps a 4x transmittance band against motion-induced validation
+    # failures while covering far more tiles than the margin bar would
+    # (fog measurement r4: margin-bar publication reached only 59% of
+    # tiles because the packed budget stalls cap growth).
+    thr_publish_margin: float = 1.0
     # Saturation-driven cap decay (the packed-occupancy controller): a
     # truncating tile whose end-of-cap transmittance is below
     # transmittance_stop * cap_escalate_margin * THIS factor decays its cap

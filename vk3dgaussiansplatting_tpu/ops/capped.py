@@ -119,15 +119,29 @@ def _crossing_counts(elements: SortElements, starts, r, caps, thr):
     """
     t = starts.shape[0]
     filtered = thr != jnp.uint32(SENTINEL)
-    tids = jnp.arange(t, dtype=jnp.uint32)
-    # probe (t, thr+1): count of pairs lex-below == global position of the
-    # first element of tile t with depth > thr.  thr is clamped to
-    # SENTINEL-1 when published, so the +1 never wraps (ops/search.py).
-    probe_lo = jnp.minimum(thr, jnp.uint32(SENTINEL - 1)) + jnp.uint32(1)
-    pcross = two_level_lex_search(elements.tile, elements.depth, tids, probe_lo)
-    pfx = jnp.clip(pcross - starts, 0, r)
-    counts = jnp.minimum(r, caps)
-    return jnp.where(filtered, jnp.minimum(counts, pfx), counts), filtered
+    counts_plain = jnp.minimum(r, caps)
+
+    def with_search(_):
+        tids = jnp.arange(t, dtype=jnp.uint32)
+        # probe (t, thr+1): count of pairs lex-below == global position of
+        # the first element of tile t with depth > thr.  thr is clamped to
+        # SENTINEL-1 when published, so the +1 never wraps (ops/search.py).
+        probe_lo = jnp.minimum(thr, jnp.uint32(SENTINEL - 1)) + jnp.uint32(1)
+        pcross = two_level_lex_search(
+            elements.tile, elements.depth, tids, probe_lo
+        )
+        pfx = jnp.clip(pcross - starts, 0, r)
+        return jnp.where(
+            filtered, jnp.minimum(counts_plain, pfx), counts_plain
+        )
+
+    # The lex search costs ~2-3 ms at garden scale; frames whose threshold
+    # map is entirely SENTINEL (warmup, fog-like scenes that never
+    # publish) skip it in-graph.
+    counts = lax.cond(
+        jnp.any(filtered), with_search, lambda _: counts_plain, 0
+    )
+    return counts, filtered
 
 
 def _round_up(x: int, m: int) -> int:
@@ -318,11 +332,12 @@ def _policy_update(
     the same frame, so gating on the current size alone overshoots the
     budget in one step and oscillates through overflow-shedding.
 
-    Thresholds (when `thr` is not None): margin-deep valid tiles publish
-    the depth key at their (trimmed) capped end — the prefilter fixed
-    point; everything else publishes SENTINEL (unfiltered next frame).
-    Publishing only under the escalation margin keeps a 13x transmittance
-    hysteresis band between acquiring a threshold and failing validation.
+    Thresholds (when `thr` is not None): valid tiles below the publication
+    bar (config.thr_publish_margin x stop) publish the depth key at their
+    (trimmed) capped end — the prefilter fixed point; everything else
+    publishes SENTINEL (unfiltered next frame).  The gap between the
+    publication bar and the validation bar (cap_validation_factor) is the
+    transmittance hysteresis against motion-induced unfixable frames.
     """
     base = config.blend_depth_cap
     cap_max = config.blend_cap_max
@@ -378,7 +393,10 @@ def _policy_update(
     if thr is None:
         return caps_next, None, floor_next, n_grow
     e = depth_col.shape[0]
-    publish = valid & margin_ok & fits
+    publish_deep = t_max < jnp.float32(
+        config.transmittance_stop * config.thr_publish_margin
+    )
+    publish = valid & publish_deep & fits
     end_pos = jnp.clip(starts + counts - 1, 0, e - 1)
     depth_end = jnp.take(depth_col, end_pos, axis=0)
     # Clamp below SENTINEL: SENTINEL means "unfiltered", and the crossing

@@ -76,6 +76,36 @@ def cull_mask(pos_view, ndc, config: RenderConfig):
     return near_ok & ndc_ok
 
 
+def count_live_elements(table, view, proj, cam_pos, config, depth_thr=None):
+    """Live sort-element count WITHOUT the expansion (projection + extents
+    + optional prefilter + cumsum only).  Compiles in seconds — used to
+    probe whether the prefiltered list fits a smaller steady capacity
+    before paying the steady program set's compiles
+    (pipeline.ChainedTemporalPlan.try_steady_switch)."""
+    pos = table.position
+    pos_view = project.view_transform(pos, view)
+    ndc = project.ndc_position(pos_view, proj)
+    visible = cull_mask(pos_view, ndc, config)
+    cov2d = project.compute_cov2d(
+        table.scale, table.rot, pos_view, view, config
+    )
+    screen_pos = project.screen_space_position(pos_view, proj, config)
+    extents = project.tile_extents(screen_pos, cov2d, config)
+    w = extents[:, 2] - extents[:, 0]
+    h = extents[:, 3] - extents[:, 1]
+    emit = visible
+    if depth_thr is not None:
+        from . import prefilter
+
+        depth = project.depth_key(pos_view[:, 2], config)
+        dil = prefilter.dilate_thresholds(depth_thr, config)
+        emit = emit & prefilter.gaussian_keep_mask(
+            screen_pos, extents, depth, dil, config
+        )
+    counts = jnp.where(emit, w * h, 0).astype(jnp.int32)
+    return jnp.sum(counts)
+
+
 def generate_sort_elements(
     table,
     view,

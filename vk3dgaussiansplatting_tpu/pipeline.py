@@ -249,6 +249,24 @@ class ChainedTemporalPlan:
         """
         if not self.prefilter_on or self.mode == "steady":
             return self.mode == "steady"
+        # Cheap feasibility probe first: the filtered live count via the
+        # expansion-free count pipeline (compiles in seconds) — skipping
+        # the steady program set's expensive compiles (the steady-capacity
+        # sort alone is minutes on the remote compiler) when the scene's
+        # thresholds cannot drop enough to fit.
+        config = self.config
+        count_fn = jax.jit(
+            lambda t, v, p, c, thr: keygen_ops.count_live_elements(
+                t, v, p, c, config, depth_thr=thr
+            )
+        )
+        est = int(count_fn(table, view, proj, cam_pos, self.state.thr))
+        if est >= int(self.steady_capacity * 0.97):
+            self._log(
+                f"steady switch skipped: filtered live ~{est/1e6:.2f}M "
+                f">= {self.steady_capacity/1e6:.2f}M steady capacity"
+            )
+            return False
         self.mode = "steady"
         for j in range(probes):
             self.frame(table, view, proj, cam_pos)
