@@ -181,7 +181,7 @@ def main():
                          "a tighter value shrinks every per-slot pass — "
                          "results stay exact as long as nothing overflows, "
                          "which the live-element log confirms)")
-    ap.add_argument("--steady-frac", type=float, default=0.8,
+    ap.add_argument("--steady-frac", type=float, default=0.62,
                     help="temporal depth-prefilter steady-state capacity, "
                          "as a fraction of the full sort capacity: after "
                          "the caps/thresholds warmup, keygen drops "
@@ -191,6 +191,14 @@ def main():
                          "prefilter (round-3 behavior).")
     ap.add_argument("--no-prefilter", action="store_true",
                     help="alias for --steady-frac 0")
+    ap.add_argument("--packed-slack", type=int, default=None,
+                    help="packed_slack_per_tile override (default 256): the "
+                         "static packed-layout budget per tile beyond the "
+                         "base cap.  Gather + blend cost scales with the "
+                         "static packed capacity, so with the saturation-"
+                         "decay controller holding steady occupancy ~5.1M "
+                         "a smaller budget converts directly into frame "
+                         "time (at the cost of margin-growth headroom).")
     ap.add_argument("--scene-gen", default="cloud",
                     choices=["cloud", "surface", "ply-surface"],
                     help="procedural stand-in generator: random cloud "
@@ -243,6 +251,11 @@ def main():
         **(
             {"capacity_slack_per_tile": args.slack}
             if args.slack is not None
+            else {}
+        ),
+        **(
+            {"packed_slack_per_tile": args.packed_slack}
+            if args.packed_slack is not None
             else {}
         ),
     )

@@ -216,6 +216,10 @@ def main():
     bench("expand train-scale", 559_263, 4_245_463, 6.3)
     # garden30k_1080p scale: N=5.83M, capacity ~14.2M, ~13.1M live
     bench("expand garden-scale", 5_834_784, 14_190_624, 2.25, iters=10)
+    # prefilter-thinned steady regime: mean ~1.05 live elements per source
+    # row — spans routinely exceed one 512-row chunk (the second pipelined
+    # chunk must keep this off the serial refill path, r4)
+    bench("expand thinned (steady)", 5_834_784, 8_798_720, 1.3, iters=10)
     # garden-scale compactor: 8160 tiles at the converged mixed-cap regime
     compact_bench("compact_runs garden-scale", 8160, 14_190_624, 512, 4096 + 128)
 

@@ -128,3 +128,13 @@ def test_keygen_pallas_expansion_matches_repeat(scene_cls):
     np.testing.assert_array_equal(np.asarray(el_rep.depth), np.asarray(el_pl.depth))
     np.testing.assert_array_equal(np.asarray(el_rep.index), np.asarray(el_pl.index))
     assert int(el_rep.count) == int(el_pl.count)
+
+
+def test_prefilter_thinned_counts_span_regimes():
+    """Half-zero counts at mean ~1 live element/source row (the prefilter
+    steady regime that made spans exceed one 512-row chunk): windows span
+    most of a CHUNK and some exceed it (refill path), bit-parity held."""
+    rng = np.random.default_rng(11)
+    counts = rng.integers(1, 4, size=20_000).astype(np.int32)
+    counts[rng.random(20_000) < 0.55] = 0
+    _run_case(counts, capacity=int(counts.sum()) + 512)

@@ -34,7 +34,9 @@ Per 512-slot window (one grid step):
   1. the window's first source row comes from a two-level XLA-side
      searchsorted over the inclusive cumsum (one probe per window);
   2. one [8, 512] slice of the packed source table is DMA'd to VMEM,
-     double-buffered across windows;
+     double-buffered across windows — plus a SECOND pipelined 512-row
+     chunk when the scalar-prefetched span bound exceeds one chunk (the
+     common case under prefilter-thinned counts, r4);
   3. the covering row of each slot is the compare-count
      cnt[j] = sum_i (cum[i] <= j), counted over the first n_src 128-row
      blocks only (rows beyond the window's span satisfy cum > j by
@@ -45,8 +47,8 @@ Per 512-slot window (one grid step):
      source lane-groups of [8, 128] gathers + selects, moving all 8 rows
      per op;
   5. a `while_loop` refills further 512-row chunks for the rare window
-     whose source span exceeds one chunk (long culled runs, or >512 tiny
-     one-tile gaussians per window).
+     whose source span exceeds both pipelined chunks (long culled runs,
+     or >1024 rows per window).
 
 Slots past the live total search for min(j, total-1) instead of j so the
 final mixed live/dead window terminates without scanning the tail of the
@@ -68,14 +70,17 @@ from ..search import two_level_left_search
 from .common import interpret_mode
 
 # Slots per window == source rows per chunk.  One lane-group is 128; the
-# vreg crossbar gathers within 128 lanes, so both are decomposed into
-# WINDOW/128 static groups.  Sizing (r4 sweep on the real garden cull
-# pattern, scripts/r4_expand_window.py): the kernel skeleton (grid loop +
-# DMA issue) costs ~470 ns/window and scales inversely with WINDOW
-# (512/1024/2048 = 30.0/25.7/32.3 ms full-kernel), BUT W=1024 miscompiles
-# on the real chip (refill-path lanes return zeros on spans > 1 chunk;
-# interpret mode is bit-exact — scripts/expand2 check 2026-08-21), so the
-# device-verified 512 stands.  Revisit on a newer libtpu.
+# vreg crossbar gathers within 128 lanes, so both decompose into
+# WINDOW/128 static groups.  Span handling (r4): the serial refill DMA is
+# fine for RARE long spans, but prefilter-thinned counts (mean ~1 element
+# per source row) push nearly every window's span past one 512-row chunk
+# and the kernel more than doubles.  Remedies that enlarge the DMA or the
+# buffer MISCOMPILE server-side (1024-wide chunks/windows: refill lanes
+# return zeros on device while interpret is bit-exact) — so each window
+# instead PREFETCHES a second 512-row chunk, gated by the scalar-
+# prefetched span bound (Mosaic predicates scalars/DMA structurally for
+# free), and processes it under a scalar cond.  Spans up to 1024 rows
+# stay fully pipelined; the serial refill remains for the tail.
 WINDOW = 512
 GROUP = 128
 NBLOCKS = WINDOW // GROUP  # 4
@@ -83,6 +88,7 @@ NUM_ROWS = 8  # 7 value rows + the cumsum control row
 CUM_ROW = NUM_ROWS - 1
 MAX_COLS = NUM_ROWS - 1
 ALIGN = 128  # chunk-start alignment (Mosaic dynamic-DMA minimum)
+MAX_NSRC = 2 * NBLOCKS  # span bound covered by the two pipelined chunks
 
 _HUGE = 2**31 - 1
 
@@ -90,7 +96,7 @@ _HUGE = 2**31 - 1
 def _count_blocked(vbuf, j_eff, nsrc):
     """cnt[j] = #{rows i in chunk : cum[i] <= j_eff[j]}, blocked.
 
-    vbuf: [NUM_ROWS, W] chunk (row CUM_ROW = inclusive cumsum).
+    vbuf: [NUM_ROWS, WINDOW] chunk (row CUM_ROW = inclusive cumsum).
     j_eff: [1, W] i32 clipped slot ids.
     nsrc:  scalar i32 — only the first nsrc 128-row blocks can satisfy
            cum <= j for this window's slots; later blocks are skipped.
@@ -147,8 +153,8 @@ def _expand_kernel(
     total_ref,  # [1] i32 scalar-prefetch: live element count (cum[-1])
     vals_hbm,  # [NUM_ROWS, N_pad] i32 packed source rows (row 7 = cumsum)
     out_ref,  # [NUM_ROWS, WINDOW] block at (0, b)
-    vals_buf,  # [2, NUM_ROWS, WINDOW] VMEM scratch
-    sems,  # DMA semaphores [2]
+    vals_buf,  # [2, 2, NUM_ROWS, WINDOW] VMEM scratch (slot, chunk)
+    sems,  # DMA semaphores [2, 2]
     *,
     n_pad: int,
 ):
@@ -158,26 +164,35 @@ def _expand_kernel(
     max_start = n_pad - WINDOW
     total = total_ref[0]
 
-    def dma(buf_slot, row0):
+    def dma(buf_slot, chunk, row0):
         row0 = jnp.minimum(row0, max_start)
         row0 = pl.multiple_of(row0, ALIGN)
         return pltpu.make_async_copy(
             vals_hbm.at[:, pl.ds(row0, WINDOW)],
-            vals_buf.at[buf_slot],
-            sems.at[buf_slot],
+            vals_buf.at[buf_slot, chunk],
+            sems.at[buf_slot, chunk],
         )
 
     # Windows are live iff their first slot is below the live total;
     # liveness is monotone in b, so dead windows never interleave live ones.
     live_w = b * jnp.int32(WINDOW) < total
 
+    def start_pair(buf_slot, w):
+        # Pipelined chunk pair for window w: the second chunk is gated by
+        # the scalar-prefetched span bound (free structural predication).
+        dma(buf_slot, 0, sw_ref[w]).start()
+
+        @pl.when(nsrc_ref[w] > jnp.int32(NBLOCKS))
+        def _():
+            dma(buf_slot, 1, sw_ref[w] + jnp.int32(WINDOW)).start()
+
     @pl.when((b == 0) & live_w)
     def _():
-        dma(0, sw_ref[0]).start()
+        start_pair(0, 0)
 
     @pl.when((b + 1 < nb) & ((b + 1) * jnp.int32(WINDOW) < total))
     def _():
-        dma(1 - slot, sw_ref[b + 1]).start()
+        start_pair(1 - slot, b + 1)
 
     @pl.when(jnp.logical_not(live_w))
     def _():
@@ -187,7 +202,7 @@ def _expand_kernel(
 
     @pl.when(live_w)
     def _():
-        dma(slot, sw_ref[b]).wait()
+        dma(slot, 0, sw_ref[b]).wait()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
         j = b * jnp.int32(WINDOW) + lane
@@ -207,13 +222,33 @@ def _expand_kernel(
 
         searching0 = jnp.ones((1, WINDOW), jnp.int32)
         acc0 = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
+        nsrc_b = nsrc_ref[b]
         searching1, acc1 = process_chunk(
-            vals_buf[slot], searching0, acc0, nsrc_ref[b]
+            vals_buf[slot, 0], searching0, acc0,
+            jnp.minimum(nsrc_b, jnp.int32(NBLOCKS)),
         )
 
-        # Rare slow path: the window's span exceeds one chunk (long culled
-        # runs or >512 single-tile gaussians per window).  Refill the same
-        # buffer slot — the next window's prefetch lives in the other slot.
+        # Second pipelined chunk (prefetched above) for spans beyond one
+        # chunk — the common case under prefilter-thinned counts.  Scalar
+        # condition; the vector work runs only when taken.
+        def with_chunk2(carry):
+            s, a = carry
+            dma(slot, 1, sw_ref[b] + jnp.int32(WINDOW)).wait()
+            return process_chunk(
+                vals_buf[slot, 1], s, a, nsrc_b - jnp.int32(NBLOCKS)
+            )
+
+        searching2, acc2 = lax.cond(
+            nsrc_b > jnp.int32(NBLOCKS),
+            with_chunk2,
+            lambda c: c,
+            (searching1, acc1),
+        )
+
+        # Rare slow path: the window's span exceeds both pipelined chunks
+        # (long culled runs or extreme thinning).  Serial refill into the
+        # first chunk buffer — the next window's prefetch lives in the
+        # other slot.
         def cond(carry):
             c, searching, _ = carry
             row0 = sw_ref[b] + c * jnp.int32(WINDOW)
@@ -222,16 +257,16 @@ def _expand_kernel(
         def body(carry):
             c, searching, acc = carry
             row0 = sw_ref[b] + c * jnp.int32(WINDOW)
-            d = dma(slot, row0)
+            d = dma(slot, 0, row0)
             d.start()
             d.wait()
             searching, acc = process_chunk(
-                vals_buf[slot], searching, acc, jnp.int32(NBLOCKS)
+                vals_buf[slot, 0], searching, acc, jnp.int32(NBLOCKS)
             )
             return c + 1, searching, acc
 
         _, _, acc = lax.while_loop(
-            cond, body, (jnp.int32(1), searching1, acc1)
+            cond, body, (jnp.int32(2), searching2, acc2)
         )
         out_ref[:, :] = acc
 
@@ -257,7 +292,7 @@ def expand_rows(packed_cols, counts, capacity: int):
     cum = jnp.cumsum(counts, dtype=jnp.int32)  # [N] inclusive
     total = cum[-1] if n > 0 else jnp.int32(0)
 
-    n_pad = max(-(-n // WINDOW) * WINDOW, WINDOW)
+    n_pad = max(-(-n // WINDOW) * WINDOW, 2 * WINDOW)
     num_windows = -(-capacity // WINDOW)
 
     rows = [r.astype(jnp.int32) for r in packed_cols]
@@ -284,9 +319,18 @@ def expand_rows(packed_cols, counts, capacity: int):
     sw = jnp.minimum(sw, n_pad - WINDOW)
     # Source blocks that can hold this window's covering rows: misalignment
     # + span, over-approximated by one row (sw_raw[b+1] >= last covering
-    # row), capped at the chunk's 4 blocks (beyond -> refill path).
+    # row).  Up to 2*NBLOCKS blocks ride the two pipelined chunks; beyond
+    # -> serial refill path.  The second chunk must not be DMA-clamped
+    # (clamping shifts its content relative to sw), so windows whose
+    # second chunk would start past n_pad - WINDOW are capped at one chunk
+    # — behaviorally identical to the single-chunk kernel there.
     span_ub = sw_raw[1:] - sw + 1
-    nsrc = jnp.clip(-(-span_ub // GROUP), 1, NBLOCKS).astype(jnp.int32)
+    nsrc = jnp.clip(-(-span_ub // GROUP), 1, MAX_NSRC).astype(jnp.int32)
+    nsrc = jnp.where(
+        sw + WINDOW <= n_pad - WINDOW,
+        nsrc,
+        jnp.minimum(nsrc, NBLOCKS),
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -296,8 +340,8 @@ def expand_rows(packed_cols, counts, capacity: int):
             (NUM_ROWS, WINDOW), lambda b, *_: (0, b), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_ROWS, WINDOW), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, NUM_ROWS, WINDOW), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
