@@ -23,7 +23,7 @@ sys.path.insert(0, ".")
 from vk3dgaussiansplatting_tpu.ops.pallas import expand_kernel
 
 
-def parity(n, capacity, seed, cull=0.4):
+def parity(n, capacity, seed, cull=0.4, wide=False):
     rng = np.random.default_rng(seed)
     counts = rng.integers(0, 9, size=n).astype(np.int32)
     counts[rng.random(n) < cull] = 0
@@ -37,11 +37,13 @@ def parity(n, capacity, seed, cull=0.4):
     live = min(want.shape[0], capacity)
 
     got_cols, total = expand_kernel.expand_rows(
-        [jnp.asarray(c) for c in cols], jnp.asarray(counts), capacity
+        [jnp.asarray(c) for c in cols], jnp.asarray(counts), capacity,
+        wide_span=wide,
     )
     got = np.stack([np.asarray(c) for c in got_cols], -1)
     ok = np.array_equal(got[:live], want[:live]) and int(total) == int(counts.sum())
-    print(f"parity n={n} cap={capacity}: {'OK' if ok else 'MISMATCH'}", flush=True)
+    print(f"parity n={n} cap={capacity} wide={wide}: "
+          f"{'OK' if ok else 'MISMATCH'}", flush=True)
     if not ok:
         bad = np.nonzero((got[:live] != want[:live]).any(-1))[0]
         print("first bad slots:", bad[:10], flush=True)
@@ -50,7 +52,7 @@ def parity(n, capacity, seed, cull=0.4):
     return ok
 
 
-def bench(name, n, capacity, mean_count, iters=20, seed=0):
+def bench(name, n, capacity, mean_count, iters=20, seed=0, wide=False):
     rng = np.random.default_rng(seed)
     counts = rng.poisson(mean_count, size=n).astype(np.int32)
     counts[rng.random(n) < 0.2] = 0
@@ -60,7 +62,7 @@ def bench(name, n, capacity, mean_count, iters=20, seed=0):
     def run(k):
         def body(i, acc):
             out, total = expand_kernel.expand_rows(
-                cols[:5] + [cols[5] + i], cj, capacity
+                cols[:5] + [cols[5] + i], cj, capacity, wide_span=wide
             )
             return acc * jnp.float32(1e-30) + jnp.sum(
                 out[0][:8].astype(jnp.float32)
@@ -207,6 +209,10 @@ def main():
     ok = parity(3000, 8192, 1)
     ok &= parity(5000, 4096, 2, cull=0.9)   # heavy culling, overflow
     ok &= parity(4000, 4096, 3, cull=0.0)   # dense spans
+    ok &= parity(3000, 8192, 1, wide=True)
+    ok &= parity(5000, 4096, 2, cull=0.9, wide=True)
+    ok &= parity(9000, 8192, 4, cull=0.55)  # tail span crossing n_pad - W
+    ok &= parity(9000, 8192, 4, cull=0.55, wide=True)
     ok &= compact_parity(64, 300_000, 512 + 128, 7)
     ok &= compact_parity(300, 2_000_000, 4096 + 128, 8)
     ok &= capped_smoke()
@@ -219,7 +225,11 @@ def main():
     # prefilter-thinned steady regime: mean ~1.05 live elements per source
     # row — spans routinely exceed one 512-row chunk (the second pipelined
     # chunk must keep this off the serial refill path, r4)
-    bench("expand thinned (steady)", 5_834_784, 8_798_720, 1.3, iters=10)
+    bench("expand thinned narrow", 5_834_784, 8_798_720, 1.3, iters=10)
+    bench("expand thinned WIDE", 5_834_784, 8_798_720, 1.3, iters=10,
+          wide=True)
+    bench("expand garden WIDE", 5_834_784, 14_190_624, 2.25, iters=10,
+          wide=True)
     # garden-scale compactor: 8160 tiles at the converged mixed-cap regime
     compact_bench("compact_runs garden-scale", 8160, 14_190_624, 512, 4096 + 128)
 

@@ -88,6 +88,12 @@ def main():
                     help="also time the capped blend path at this cap")
     ap.add_argument("--scene-gen", default="cloud",
                     choices=["cloud", "surface"])
+    ap.add_argument("--steady", action="store_true",
+                    help="steady-regime per-pass breakdown: converge the "
+                         "caps+thresholds, then time keygen(filtered)/sort/"
+                         "ranges/capped phases at --steady-frac of the "
+                         "full capacity (what bench.py's timed frames run)")
+    ap.add_argument("--steady-frac", type=float, default=0.62)
     ap.add_argument("--prefilter-diag", action="store_true",
                     help="temporal depth-prefilter diagnostic: converge the "
                          "caps+thresholds, then report kept gaussian/element "
@@ -284,6 +290,90 @@ def main():
                 f"({100*kept/max(tot,1):.1f}%)  [{time.time()-t0:.0f}s]",
                 flush=True,
             )
+
+    if args.steady:
+        import dataclasses as _dc
+
+        from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
+
+        cfg_t = (
+            config
+            if config.blend_depth_cap > 0
+            else _dc.replace(config, blend_depth_cap=384)
+        )
+        conv = jax.jit(
+            lambda se, rg, fr, st: capped_ops.blend_tiles_capped_temporal(
+                se, rg, fr, cfg_t, st
+            )
+        )
+        state = capped_ops.init_caps_state(cfg_t)
+        for it in range(10):
+            _img, state, ok = conv(sorted_elems, ranges, frame, state)
+        nf = int(jnp.sum((state.thr != jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)))
+        print(f"steady: thresholds converged, finite={nf}/{cfg_t.num_tiles}",
+              flush=True)
+        cap_s = -(-int(capacity * args.steady_frac) // 512) * 512
+        thr_d = jax.block_until_ready(state.thr)
+
+        def kg_f_digest(s, table, thr):
+            el, fr = keygen_ops.generate_sort_elements(
+                table, vj.at[2, 3].add(s), pj, cj, cfg_t, cap_s,
+                depth_thr=thr,
+            )
+            return jnp.sum(el.depth[:8].astype(jnp.float32)) + el.count.astype(
+                jnp.float32
+            )
+
+        bench(f"steady keygen(filtered)@{cap_s/1e6:.2f}M", kg_f_digest,
+              table, thr_d)
+
+        el_s, fr_s = jax.block_until_ready(jax.jit(
+            lambda t, thr: keygen_ops.generate_sort_elements(
+                t, vj, pj, cj, cfg_t, cap_s, depth_thr=thr
+            )
+        )(table, thr_d))
+        print(f"  steady live = {int(el_s.count)/1e6:.2f}M", flush=True)
+
+        def sort_s_digest(s, el0):
+            el = keygen_ops.SortElements(
+                tile=el0.tile, depth=el0.depth + s.astype(jnp.uint32),
+                index=el0.index, count=el0.count,
+            )
+            se = sort_ops.sort_elements_xla(el, num_tiles=cfg_t.num_tiles)
+            return jnp.sum(se.index[:8].astype(jnp.float32))
+
+        bench(f"steady sort@{cap_s/1e6:.2f}M", sort_s_digest, el_s, iters=4)
+
+        se_s = jax.block_until_ready(jax.jit(
+            lambda el: sort_ops.sort_elements_xla(el, num_tiles=cfg_t.num_tiles)
+        )(el_s))
+
+        def rg_s_digest(s, se):
+            el = keygen_ops.SortElements(
+                tile=se.tile, depth=se.depth,
+                index=se.index + s.astype(jnp.uint32), count=se.count,
+            )
+            rg = ranges_ops.find_ranges(el, cfg_t.num_tiles)
+            return jnp.sum(rg[:8, :].astype(jnp.float32))
+
+        bench("steady find_ranges", rg_s_digest, se_s)
+        rg_s = jax.block_until_ready(jax.jit(
+            lambda se: ranges_ops.find_ranges(se, cfg_t.num_tiles)
+        )(se_s))
+
+        def split_digest(s, se, rg, fr, st):
+            fr2 = keygen_ops.GaussianFrameData(
+                color_alpha=fr.color_alpha + s,
+                cov2d=fr.cov2d, cov_inv=fr.cov_inv,
+                screen_pos=fr.screen_pos,
+            )
+            img, st2, ok, stats = capped_ops.blend_tiles_capped_split(
+                se, rg, fr2, cfg_t, st
+            )
+            return jnp.sum(img[::97, ::97, 0]) + ok.astype(jnp.float32)
+
+        bench("steady capped split (all 3 phases)", split_digest,
+              se_s, rg_s, fr_s, state, iters=4)
 
     if args.prefilter_diag:
         # Converge caps+thresholds on the pinned camera, then measure how

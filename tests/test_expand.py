@@ -138,3 +138,44 @@ def test_prefilter_thinned_counts_span_regimes():
     counts = rng.integers(1, 4, size=20_000).astype(np.int32)
     counts[rng.random(20_000) < 0.55] = 0
     _run_case(counts, capacity=int(counts.sum()) + 512)
+
+
+def test_wide_span_variant_parity():
+    """wide_span=True (two unconditional pipelined chunks) is bit-equal to
+    the default kernel across span regimes incl. the serial-refill tail."""
+    rng = np.random.default_rng(13)
+    for counts, cap in (
+        (rng.integers(0, 3, 9000).astype(np.int32), 8192),
+        (np.ones(6000, np.int32), 4096),  # dense + overflow
+    ):
+        counts = counts.copy()
+        counts[rng.random(len(counts)) < 0.5] = 0
+        cols_np = [np.arange(len(counts), dtype=np.int32),
+                   rng.integers(-(2**31), 2**31, len(counts)).astype(np.int32)]
+        want, live = _reference_expand(cols_np, counts, cap)
+        cols, total = expand_kernel.expand_rows(
+            [jnp.asarray(c) for c in cols_np], jnp.asarray(counts), cap,
+            wide_span=True,
+        )
+        got = np.stack([np.asarray(c) for c in cols], axis=-1)
+        np.testing.assert_array_equal(got[:live], want[:live])
+        assert int(total) == int(counts.sum())
+
+
+def test_tail_window_span_crossing_pad_boundary():
+    """r4 regression: a window whose span crosses n_pad - WINDOW used to
+    orphan its tail covering rows (the refill refused clamped chunks).
+    Both kernel variants must cover the table's final rows."""
+    rng = np.random.default_rng(13)
+    counts = rng.integers(0, 3, 9000).astype(np.int32)
+    counts[rng.random(9000) < 0.5] = 0
+    cols_np = [np.arange(9000, dtype=np.int32),
+               rng.integers(-(2**31), 2**31, 9000).astype(np.int32)]
+    want, live = _reference_expand(cols_np, counts, 8192)
+    for wide in (False, True):
+        cols, total = expand_kernel.expand_rows(
+            [jnp.asarray(c) for c in cols_np], jnp.asarray(counts), 8192,
+            wide_span=wide,
+        )
+        got = np.stack([np.asarray(c) for c in cols], axis=-1)
+        np.testing.assert_array_equal(got[:live], want[:live])

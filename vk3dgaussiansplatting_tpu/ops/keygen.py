@@ -217,7 +217,12 @@ def generate_sort_elements(
         # gather.  Bit-identical to the repeat path (tests/test_expand.py).
         from .pallas import expand_kernel
 
-        cols, _ = expand_kernel.expand_rows(packed_cols, counts, capacity)
+        # Prefilter-thinned counts (mean ~1 element/source row) push window
+        # spans past one chunk; the wide-span variant pipelines two chunks
+        # unconditionally (expand_kernel.py r4 rationale).
+        cols, _ = expand_kernel.expand_rows(
+            packed_cols, counts, capacity, wide_span=depth_thr is not None
+        )
     else:
         # XLA tier: gathers cost ~6.5 ns/row *independent of row width*
         # (measured), so the expansion performs exactly ONE row gather: all

@@ -77,10 +77,11 @@ from .common import interpret_mode
 # and the kernel more than doubles.  Remedies that enlarge the DMA or the
 # buffer MISCOMPILE server-side (1024-wide chunks/windows: refill lanes
 # return zeros on device while interpret is bit-exact) — so each window
-# instead PREFETCHES a second 512-row chunk, gated by the scalar-
-# prefetched span bound (Mosaic predicates scalars/DMA structurally for
-# free), and processes it under a scalar cond.  Spans up to 1024 rows
-# stay fully pipelined; the serial refill remains for the tail.
+# (when wide_span) instead PREFETCHES a second 512-row chunk and
+# processes it UNCONDITIONALLY — a scalar-gated DMA + lax.cond around the
+# processing was ~2x slower than just doing the work (Mosaic branch
+# machinery; r4 steady breakdown).  Spans up to 1024 rows stay fully
+# pipelined; the serial refill remains for the tail.
 WINDOW = 512
 GROUP = 128
 NBLOCKS = WINDOW // GROUP  # 4
@@ -157,6 +158,7 @@ def _expand_kernel(
     sems,  # DMA semaphores [2, 2]
     *,
     n_pad: int,
+    wide: bool,
 ):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -178,12 +180,13 @@ def _expand_kernel(
     live_w = b * jnp.int32(WINDOW) < total
 
     def start_pair(buf_slot, w):
-        # Pipelined chunk pair for window w: the second chunk is gated by
-        # the scalar-prefetched span bound (free structural predication).
+        # Wide mode prefetches a pipelined chunk PAIR unconditionally: a
+        # scalar-gated second DMA + a scalar lax.cond around its
+        # processing was measured ~2x slower than just doing the work
+        # (Mosaic branch machinery, r4 steady breakdown: 78.7 ms filtered
+        # keygen vs 43.5 unfiltered).
         dma(buf_slot, 0, sw_ref[w]).start()
-
-        @pl.when(nsrc_ref[w] > jnp.int32(NBLOCKS))
-        def _():
+        if wide:
             dma(buf_slot, 1, sw_ref[w] + jnp.int32(WINDOW)).start()
 
     @pl.when((b == 0) & live_w)
@@ -223,36 +226,48 @@ def _expand_kernel(
         searching0 = jnp.ones((1, WINDOW), jnp.int32)
         acc0 = jnp.zeros((NUM_ROWS, WINDOW), jnp.int32)
         nsrc_b = nsrc_ref[b]
-        searching1, acc1 = process_chunk(
+        searching2, acc2 = process_chunk(
             vals_buf[slot, 0], searching0, acc0,
             jnp.minimum(nsrc_b, jnp.int32(NBLOCKS)),
         )
 
-        # Second pipelined chunk (prefetched above) for spans beyond one
-        # chunk — the common case under prefilter-thinned counts.  Scalar
-        # condition; the vector work runs only when taken.
-        def with_chunk2(carry):
-            s, a = carry
+        if wide:
+            # Second pipelined chunk, processed unconditionally (windows
+            # whose span fits chunk 1 get nsrc - NBLOCKS <= 0: zero
+            # covered blocks, nothing gathered, searching unchanged).
+            # A tail window whose second chunk start was DMA-clamped holds
+            # the table's FINAL rows at a shifted position: the span-bound
+            # gating no longer lines up, so process all of its blocks —
+            # chunk content is self-consistent (sorted cum + local
+            # compare-count) wherever it starts.
             dma(slot, 1, sw_ref[b] + jnp.int32(WINDOW)).wait()
-            return process_chunk(
-                vals_buf[slot, 1], s, a, nsrc_b - jnp.int32(NBLOCKS)
+            shifted2 = sw_ref[b] + jnp.int32(WINDOW) > jnp.int32(max_start)
+            nb2 = jnp.where(
+                shifted2, jnp.int32(NBLOCKS), nsrc_b - jnp.int32(NBLOCKS)
+            )
+            searching2, acc2 = process_chunk(
+                vals_buf[slot, 1], searching2, acc2, nb2
             )
 
-        searching2, acc2 = lax.cond(
-            nsrc_b > jnp.int32(NBLOCKS),
-            with_chunk2,
-            lambda c: c,
-            (searching1, acc1),
-        )
-
-        # Rare slow path: the window's span exceeds both pipelined chunks
+        # Rare slow path: the window's span exceeds the pipelined chunks
         # (long culled runs or extreme thinning).  Serial refill into the
         # first chunk buffer — the next window's prefetch lives in the
-        # other slot.
+        # other slot.  Clamped (tail) chunks are processed, not refused:
+        # the loop ends once the previously processed chunk already
+        # started at the clamped end (r4 fix — refusing clamped refills
+        # orphaned covering rows in [sw + c*W, n) for tail windows whose
+        # span crosses n_pad - W; full-block processing makes a shifted
+        # chunk's compare-count self-consistent).
+        c0 = 2 if wide else 1
+
         def cond(carry):
             c, searching, _ = carry
-            row0 = sw_ref[b] + c * jnp.int32(WINDOW)
-            return (jnp.max(searching) > 0) & (row0 <= max_start)
+            prev_start = jnp.minimum(
+                sw_ref[b] + (c - 1) * jnp.int32(WINDOW), jnp.int32(max_start)
+            )
+            return (jnp.max(searching) > 0) & (
+                prev_start < jnp.int32(max_start)
+            )
 
         def body(carry):
             c, searching, acc = carry
@@ -266,13 +281,13 @@ def _expand_kernel(
             return c + 1, searching, acc
 
         _, _, acc = lax.while_loop(
-            cond, body, (jnp.int32(2), searching2, acc2)
+            cond, body, (jnp.int32(c0), searching2, acc2)
         )
         out_ref[:, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def expand_rows(packed_cols, counts, capacity: int):
+@functools.partial(jax.jit, static_argnames=("capacity", "wide_span"))
+def expand_rows(packed_cols, counts, capacity: int, wide_span: bool = False):
     """Monotone fixed-capacity expansion, kernel-backed.
 
     Equivalent to
@@ -284,6 +299,11 @@ def expand_rows(packed_cols, counts, capacity: int):
         row, one array per column).
       counts: [N] int32 per-gaussian element counts (0 for culled).
       capacity: static slot capacity E.
+      wide_span: static — pipeline TWO source chunks per window
+        (unconditional DMA + processing).  Use when counts are thinned
+        (mean ~1 element/source row, the prefilter steady regime) so spans
+        routinely exceed one 512-row chunk; the default single-chunk
+        kernel serial-refills there and more than doubles.
 
     Returns (cols, total): list of [capacity] int32 expanded columns and the
     [] int32 live total (== cum[-1], unclamped).
@@ -325,12 +345,14 @@ def expand_rows(packed_cols, counts, capacity: int):
     # second chunk would start past n_pad - WINDOW are capped at one chunk
     # — behaviorally identical to the single-chunk kernel there.
     span_ub = sw_raw[1:] - sw + 1
-    nsrc = jnp.clip(-(-span_ub // GROUP), 1, MAX_NSRC).astype(jnp.int32)
-    nsrc = jnp.where(
-        sw + WINDOW <= n_pad - WINDOW,
-        nsrc,
-        jnp.minimum(nsrc, NBLOCKS),
-    )
+    max_nsrc = MAX_NSRC if wide_span else NBLOCKS
+    nsrc = jnp.clip(-(-span_ub // GROUP), 1, max_nsrc).astype(jnp.int32)
+    if wide_span:
+        nsrc = jnp.where(
+            sw + WINDOW <= n_pad - WINDOW,
+            nsrc,
+            jnp.minimum(nsrc, NBLOCKS),
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -345,7 +367,7 @@ def expand_rows(packed_cols, counts, capacity: int):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_expand_kernel, n_pad=n_pad),
+        functools.partial(_expand_kernel, n_pad=n_pad, wide=wide_span),
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, num_windows * WINDOW), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
