@@ -553,6 +553,19 @@ def main():
     run(args.frames + 1)
     tn = time.perf_counter() - t0
     ms_per_frame = (tn - t1) / args.frames * 1e3
+    if plan_cell[0] is not None and getattr(
+        plan_cell[0], "last_dispatch_ms", None
+    ):
+        # Host-side blocking diagnostics: async dispatch should cost ~0;
+        # a per-program host time near the device pass time means the
+        # dispatch SYNCS (the r4 bench-vs-chain gap investigation).
+        disp = [[] for _ in range(4)]
+        for i in range(6):
+            dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
+            for k, v in enumerate(plan_cell[0].last_dispatch_ms):
+                disp[k].append(v)
+        log("host dispatch ms [kg, sort, ranges, blend3] per frame: "
+            + str([[round(x, 1) for x in d] for d in disp]))
     baseline = BASELINES_MS[args.scene]
     log(f"t(1)={t1*1e3:.1f}ms t({args.frames+1})={tn*1e3:.1f}ms")
 

@@ -405,23 +405,25 @@ def main():
             )
             return dig_j(img, el.count)
 
-        def chain_run(k):
+        def chain_run(k, step):
             d = None
             for i in range(k):
-                d = chain_once(jnp.float32(i) * jnp.float32(1e-6))
+                d = chain_once(jnp.float32(i) * jnp.float32(step))
             return float(d)
 
         t0 = time.perf_counter()
-        chain_run(1)
+        chain_run(1, 1e-6)
         print(f"  [steady chain] compile+first {time.perf_counter()-t0:.1f}s",
               flush=True)
-        t0 = time.perf_counter()
-        chain_run(1)
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        chain_run(7)
-        tn = time.perf_counter() - t0
-        print(f"steady FULL CHAIN: {(tn-t1)/6*1e3:.2f} ms/frame", flush=True)
+        for label, step in (("static", 1e-6), ("MOTION", 1e-5)):
+            t0 = time.perf_counter()
+            chain_run(1, step)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            chain_run(7, step)
+            tn = time.perf_counter() - t0
+            print(f"steady FULL CHAIN {label}: {(tn-t1)/6*1e3:.2f} ms/frame",
+                  flush=True)
 
     if args.prefilter_diag:
         # Converge caps+thresholds on the pinned camera, then measure how

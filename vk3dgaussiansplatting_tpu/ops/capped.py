@@ -560,8 +560,13 @@ def _patch_pass(img, valid, elements, ranges, frame, config: RenderConfig):
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 
-    rows = jnp.take(
-        blend_kernel.pack_feature_table(frame), gid, axis=0, mode="clip"
+    # Narrow split gathers (width-4 rows) — the width-10 single gather
+    # costs ~2x per row, and with camera motion flipping 1-3 tiles the
+    # patch pass runs on MOST frames (r4).
+    ta, tb = blend_kernel.pack_feature_tables2(frame)
+    rows = blend_kernel.rows_from_tables2(
+        jnp.take(ta, gid, axis=0, mode="clip"),
+        jnp.take(tb, gid, axis=0, mode="clip"),
     )
     feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
 

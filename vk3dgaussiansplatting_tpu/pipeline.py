@@ -218,25 +218,35 @@ class ChainedTemporalPlan:
         kg, so, rg = self._passes(cap_e, filtered)
         first = (cap_e, filtered) not in self._first
         t0 = _time.time()
+        marks = [t0]
         if filtered:
             el, fr = kg(table, view, proj, cam_pos, self.state.thr)
         else:
             el, fr = kg(table, view, proj, cam_pos)
+        marks.append(_time.time())
         if first:
             self._log(f"  [compile] keygen done t+{_time.time()-t0:.0f}s")
         el = so(el)
+        marks.append(_time.time())
         if first:
             self._log(f"  [compile] sort done t+{_time.time()-t0:.0f}s")
         r = rg(el)
+        marks.append(_time.time())
         if first:
             self._log(f"  [compile] ranges done t+{_time.time()-t0:.0f}s")
         img, self.state, ok, st = capped_ops.blend_tiles_capped_split(
             el, r, fr, self.config, self.state
         )
+        marks.append(_time.time())
         if first:
             self._log(f"  [compile] blend done t+{_time.time()-t0:.0f}s")
             self._first.add((cap_e, filtered))
         self.last_ok, self.last_stats, self.last_count = ok, st, el.count
+        # Host-side dispatch durations (async dispatch should be ~0; a
+        # blocking call here means a hidden sync — see bench --dispatch-diag)
+        self.last_dispatch_ms = [
+            (b - a) * 1e3 for a, b in zip(marks, marks[1:])
+        ]
         self.frames += 1
         return img
 
