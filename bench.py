@@ -191,6 +191,10 @@ def main():
                          "prefilter (round-3 behavior).")
     ap.add_argument("--no-prefilter", action="store_true",
                     help="alias for --steady-frac 0")
+    ap.add_argument("--bk", type=int, default=None,
+                    help="blend_batch_k override (default 768; smaller "
+                         "scenes may prefer 512 — shorter tile ranges "
+                         "waste fewer trailing batch lanes)")
     ap.add_argument("--packed-slack", type=int, default=None,
                     help="packed_slack_per_tile override (default 256): the "
                          "static packed-layout budget per tile beyond the "
@@ -258,6 +262,7 @@ def main():
             if args.packed_slack is not None
             else {}
         ),
+        **({"blend_batch_k": args.bk} if args.bk is not None else {}),
     )
 
     log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
@@ -359,7 +364,12 @@ def main():
 
     capped_mode = blend_mode == "capped"
     steady_frac = 0.0 if args.no_prefilter else args.steady_frac
-    prefilter_on = capped_mode and steady_frac > 0
+    # The prefilter needs the chained plan (filtered keygen), which only
+    # big scenes use; small scenes' monolithic frame must not pay the
+    # CapsState machinery (crossing search + threshold publication) for a
+    # filter that never runs (train7k A/B: 62.0 with vs ~50 without, r4).
+    big_scene = on_tpu and target_elems > 6_000_000
+    prefilter_on = capped_mode and steady_frac > 0 and big_scene
     if capped_mode:
         from vk3dgaussiansplatting_tpu.ops import capped as capped_ops
 
@@ -484,12 +494,13 @@ def main():
 
     # At garden scale the single-frame monolithic program breaks the remote
     # compile helper (transport broken pipe after ~25 min, observed 2026-08-20)
-    # AND risks wedging the tunnel; go straight to per-pass dispatch there.
-    # The capped TPU path always uses the production ChainedTemporalPlan
-    # (pipeline.py — the same code Renderer.draw runs), which also carries
-    # the depth-prefilter steady set.
-    big_scene = on_tpu and target_elems > 6_000_000
-    if capped_mode and on_tpu:
+    # AND risks wedging the tunnel; big capped scenes use the production
+    # ChainedTemporalPlan (pipeline.py — the same code Renderer.draw runs),
+    # which also carries the depth-prefilter steady set.  SMALL scenes stay
+    # on the monolithic frame program: the chained path's per-program
+    # overheads dominate there (train7k measured 88.7 ms chained vs 49.8
+    # monolithic, r4), matching Renderer.BIG_SCENE_CAPACITY.
+    if capped_mode and on_tpu and big_scene:
         dispatch = [make_plan_dispatch()]
         log("chained per-pass dispatch via pipeline.ChainedTemporalPlan")
     elif big_scene:
