@@ -191,6 +191,11 @@ def main():
                          "prefilter (round-3 behavior).")
     ap.add_argument("--no-prefilter", action="store_true",
                     help="alias for --steady-frac 0")
+    ap.add_argument("--thr-margin", type=float, default=None,
+                    help="thr_publish_margin override (default 1.0): lower "
+                         "publishes fewer, deeper-saturated thresholds — "
+                         "a wider hysteresis band against motion-induced "
+                         "prefilter-miss flags")
     ap.add_argument("--bk", type=int, default=None,
                     help="blend_batch_k override (default 768; smaller "
                          "scenes may prefer 512 — shorter tile ranges "
@@ -263,6 +268,11 @@ def main():
             else {}
         ),
         **({"blend_batch_k": args.bk} if args.bk is not None else {}),
+        **(
+            {"thr_publish_margin": args.thr_margin}
+            if args.thr_margin is not None
+            else {}
+        ),
     )
 
     log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
@@ -557,13 +567,25 @@ def main():
         t0 = time.time()
         if plan.try_steady_switch(table, view_of(2.0e-4), pj, cj):
             log(f"steady set active (compile+probe {time.time()-t0:.0f}s)")
-    t0 = time.perf_counter()
-    run(1)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(args.frames + 1)
-    tn = time.perf_counter() - t0
-    ms_per_frame = (tn - t1) / args.frames * 1e3
+    # Robust timing: the tunnel adds ±15% run-to-run noise to any single
+    # timed block (r4: identical configs measured 237.9-299.4 while the
+    # chained per-pass measurement held at ~208 across runs).  Time
+    # several shorter blocks, each with its own one-frame baseline
+    # subtraction, and report the MEDIAN block.
+    n_blocks = max(1, args.frames // 12)
+    block_frames = max(args.frames // n_blocks, 1)
+    block_ms = []
+    for _b in range(n_blocks):
+        t0 = time.perf_counter()
+        run(1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(block_frames + 1)
+        tn = time.perf_counter() - t0
+        block_ms.append((tn - t1) / block_frames * 1e3)
+    ms_per_frame = float(np.median(block_ms))
+    log("block ms/frame: " + str([round(b, 1) for b in block_ms])
+        + f" -> median {ms_per_frame:.1f}")
     if plan_cell[0] is not None and getattr(
         plan_cell[0], "last_dispatch_ms", None
     ):
@@ -578,7 +600,6 @@ def main():
         log("host dispatch ms [kg, sort, ranges, blend3] per frame: "
             + str([[round(x, 1) for x in d] for d in disp]))
     baseline = BASELINES_MS[args.scene]
-    log(f"t(1)={t1*1e3:.1f}ms t({args.frames+1})={tn*1e3:.1f}ms")
 
     if capped_mode and ok_cell[1]:
         ok_n = int(jnp.sum(jnp.stack(

@@ -515,7 +515,13 @@ def init_caps(config: RenderConfig):
 # tiles, each with range <= PATCH_WMAX - 128; frames exceeding either
 # (scene changes, warmup escalation) take the full fallback.
 PATCH_TILES = 16
-PATCH_WMAX = 16384  # per-tile patch window (128-multiple)
+# Per-tile patch window (128-multiple).  A flipped tile whose range
+# exceeds this forces the WHOLE-FRAME full fallback (~225 ms at garden
+# scale vs ~8 ms patched); garden's hottest tiles run past 16K elements,
+# and the r4 median-block bench showed ~10/77 frames paying the fallback.
+# 32K was tried in r4 and measured at noise level (the not-ok frames were
+# prefilter-miss flags, not patch-budget misses); 16K stands.
+PATCH_WMAX = 16384
 
 
 def _patch_pass(img, valid, elements, ranges, frame, config: RenderConfig):
