@@ -291,8 +291,11 @@ def main():
             write_gaussian_ply,
         )
 
+        # v-token: bump with generator/exporter changes so a stale cached
+        # capture cannot skew cross-round comparisons (same bug class as
+        # the calibration memo's cal_schema)
         ply_path = _os.path.expanduser(
-            f"~/.cache/vk3dgs_surface_{n_gauss}_{args.seed}.ply"
+            f"~/.cache/vk3dgs_surface_{n_gauss}_{args.seed}_v1.ply"
         )
         if not _os.path.exists(ply_path):
             t = procedural_surface_table(n_gauss, seed=args.seed)
@@ -523,11 +526,22 @@ def main():
     def run(num_frames):
         d = None
         for i in range(num_frames):
-            d = dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
+            # PYTHON float: jnp.float32(i) is a DEVICE array in this jax,
+            # and float()-ing it inside dispatch_fn blocked on the whole
+            # queue every frame (+~28 ms/frame, r4 code review)
+            d = dispatch[0](i * 1.0e-5)
         return float(d)
 
     t0 = time.time()
-    run(1)
+    try:
+        run(1)
+    except Exception as e:  # noqa: BLE001 — remote compile can die; fall back
+        if big_scene or not on_tpu:
+            raise
+        log(f"monolithic frame compile failed ({type(e).__name__}); "
+            f"falling back to chained per-pass dispatch")
+        dispatch[0] = make_chained()
+        run(1)
     log(f"compile+first frame in {time.time()-t0:.0f}s")
     if capped_mode:
         # Converge the temporal caps before timing (the production steady
@@ -535,7 +549,7 @@ def main():
         # headroom frames — mirrors the reference's 1000-frame warmup,
         # Renderer.cpp:477-487).
         for i in range(14):
-            dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
+            dispatch[0](i * 1.0e-5)
             if ok_cell[1] == 0:
                 continue  # monolithic dispatch does not track ok/stats
             cur = int(ok_cell[0][-1])  # per-frame fetch: warmup only
@@ -552,7 +566,7 @@ def main():
         # Pre-warm the per-frame view-matrix device cache for every eps the
         # timed runs will use: a device_put mid-run round-trips the tunnel.
         for i in range(args.frames + 4):
-            view_of(float(jnp.float32(i) * jnp.float32(1e-5)))
+            view_of(i * 1.0e-5)
 
     if capped_mode and prefilter_on and plan_cell[0] is not None:
         # Steady-state switch: the warmup converged the per-tile caps AND

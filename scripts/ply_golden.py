@@ -36,7 +36,7 @@ def main():
     from vk3dgaussiansplatting_tpu.scenes.synthetic import procedural_surface_table
 
     n = 5_834_784
-    ply_path = os.path.expanduser(f"~/.cache/vk3dgs_surface_{n}_42.ply")
+    ply_path = os.path.expanduser(f"~/.cache/vk3dgs_surface_{n}_42_v1.ply")
     if not os.path.exists(ply_path):
         t = procedural_surface_table(n, seed=42)
         print(f"exporting {ply_path}", flush=True)

@@ -115,8 +115,11 @@ def main():
         # (12 B keys+id + 36 B routed features; no frame-data all_gather
         # on the routed path) vs the static slab capacity.
         sent_live = int(acct_np[:, 1].sum())
-        a2a_static = (3 + 9) * 4 * ndev * plan.slab_capacity
-        a2a_live = (3 + 9) * 4 * sent_live / max(ndev, 1)
+        # 3 u32 key/id columns (+9 routed f32 feature columns when the
+        # render was built with route_features, the default here)
+        cols_b = (3 + 9) * 4
+        a2a_static = cols_b * ndev * plan.slab_capacity
+        a2a_live = cols_b * sent_live / max(ndev, 1)
         slab_drop = int((acct_np[:, 0] - acct_np[:, 1]).sum())
         strip_drop = int(acct_np[:, 3].sum())
         print(

@@ -144,6 +144,31 @@ def _crossing_counts(elements: SortElements, starts, r, caps, thr):
     return counts, filtered
 
 
+
+def _tile_validity(t_max, r, counts, filtered, config: RenderConfig):
+    """Per-tile validation shared by the monolithic and split paths: range
+    fit OR saturation at the (trimmed) end — but filtered tiles may be
+    missing dropped elements beyond their threshold crossing, so only
+    saturation proves them (ops/prefilter.py conservativeness argument)."""
+    sat = t_max < jnp.float32(
+        config.transmittance_stop * config.cap_validation_factor
+    )
+    valid = (r <= counts) | sat
+    if filtered is not None:
+        valid = jnp.where(filtered, sat, valid)
+    return valid
+
+
+def _count_unfixable(valid, thr):
+    """Invalid tiles that were prefiltered: the patch pass cannot recover
+    their dropped tail, so frames with any of them are flagged not-ok."""
+    return jnp.sum(
+        (jnp.logical_not(valid) & (thr != jnp.uint32(SENTINEL))).astype(
+            jnp.int32
+        )
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -260,12 +285,7 @@ def _capped_core(
     # "range fit" proves nothing there: only saturation at the (trimmed)
     # end validates them.
     t_max = jnp.max(t_out, axis=1)
-    sat = t_max < jnp.float32(
-        config.transmittance_stop * config.cap_validation_factor
-    )
-    valid = (r <= counts) | sat
-    if filtered is not None:
-        valid = jnp.where(filtered, sat, valid)
+    valid = _tile_validity(t_max, r, counts, filtered, config)
     return img, t_out, valid, fits, pcum[-1], counts
 
 
@@ -490,12 +510,7 @@ def blend_tiles_capped_temporal(
     if thr is not None:
         # A patched prefiltered tile is still missing its dropped tail:
         # only frames whose invalid tiles were all unfiltered count as ok.
-        n_unfix = jnp.sum(
-            (jnp.logical_not(valid) & (thr != jnp.uint32(SENTINEL))).astype(
-                jnp.int32
-            )
-        )
-        ok = ok & (n_unfix == 0)
+        ok = ok & (_count_unfixable(valid, thr) == 0)
         return img, CapsState(caps=caps_next, thr=thr_next, floor=floor_next), ok
     return img, caps_next, ok
 
@@ -700,15 +715,11 @@ def capped_finish(
         feat, pranges, config, ep, with_t=True
     )
     t_max = jnp.max(t_out, axis=1)
-    sat = t_max < jnp.float32(
-        config.transmittance_stop * config.cap_validation_factor
+    valid = _tile_validity(
+        t_max, r, counts,
+        (thr != jnp.uint32(SENTINEL)) if thr is not None else None,
+        config,
     )
-    valid = (r <= counts) | sat
-    if thr is not None:
-        # Filtered tiles may be missing dropped elements beyond the
-        # threshold crossing — only saturation at the trimmed end proves
-        # them (ops/prefilter.py conservativeness argument).
-        valid = jnp.where(thr != jnp.uint32(SENTINEL), sat, valid)
     ok = jnp.all(valid) & fits
 
     starts = ranges[:, 0].astype(jnp.int32)
@@ -745,12 +756,8 @@ def capped_finish(
     img = lax.cond(ok, lambda _: img, patch_or_full, 0)
     ok = ok | patchable  # "cheap path" indicator for stats/telemetry
     if thr is not None:
-        n_unfix = jnp.sum(
-            (jnp.logical_not(valid) & (thr != jnp.uint32(SENTINEL))).astype(
-                jnp.int32
-            )
-        )
         # A patched prefiltered tile is still missing its dropped tail.
+        n_unfix = _count_unfixable(valid, thr)
         ok = ok & (n_unfix == 0)
     else:
         n_unfix = jnp.int32(0)

@@ -76,32 +76,49 @@ def cull_mask(pos_view, ndc, config: RenderConfig):
     return near_ok & ndc_ok
 
 
+def _frame_geometry(table, view, proj, config):
+    """Shared projection front half of InitSortList: view transform, cull,
+    depth keys, EWA covariance, screen position, tile extents, and the
+    per-gaussian emit mask (cull AND optional prefilter).  One
+    implementation feeds both generate_sort_elements and the
+    expansion-free counting probe so the steady-switch feasibility
+    estimate can never drift from the real keygen (r4 code review)."""
+    pos_view = project.view_transform(table.position, view)
+    ndc = project.ndc_position(pos_view, proj)
+    visible = cull_mask(pos_view, ndc, config)
+    depth = project.depth_key(pos_view[:, 2], config)
+    cov2d = project.compute_cov2d(
+        table.scale, table.rot, pos_view, view, config
+    )
+    screen_pos = project.screen_space_position(pos_view, proj, config)
+    extents = project.tile_extents(screen_pos, cov2d, config)
+    return pos_view, visible, depth, cov2d, screen_pos, extents
+
+
+def _emit_mask(visible, screen_pos, extents, depth, config, depth_thr):
+    if depth_thr is None:
+        return visible
+    from . import prefilter
+
+    dil = prefilter.dilate_thresholds(depth_thr, config)
+    keep = prefilter.gaussian_keep_mask(
+        screen_pos, extents, depth, dil, config
+    )
+    return visible & keep
+
+
 def count_live_elements(table, view, proj, cam_pos, config, depth_thr=None):
     """Live sort-element count WITHOUT the expansion (projection + extents
     + optional prefilter + cumsum only).  Compiles in seconds — used to
     probe whether the prefiltered list fits a smaller steady capacity
     before paying the steady program set's compiles
     (pipeline.ChainedTemporalPlan.try_steady_switch)."""
-    pos = table.position
-    pos_view = project.view_transform(pos, view)
-    ndc = project.ndc_position(pos_view, proj)
-    visible = cull_mask(pos_view, ndc, config)
-    cov2d = project.compute_cov2d(
-        table.scale, table.rot, pos_view, view, config
+    _pv, visible, depth, _c2, screen_pos, extents = _frame_geometry(
+        table, view, proj, config
     )
-    screen_pos = project.screen_space_position(pos_view, proj, config)
-    extents = project.tile_extents(screen_pos, cov2d, config)
+    emit = _emit_mask(visible, screen_pos, extents, depth, config, depth_thr)
     w = extents[:, 2] - extents[:, 0]
     h = extents[:, 3] - extents[:, 1]
-    emit = visible
-    if depth_thr is not None:
-        from . import prefilter
-
-        depth = project.depth_key(pos_view[:, 2], config)
-        dil = prefilter.dilate_thresholds(depth_thr, config)
-        emit = emit & prefilter.gaussian_keep_mask(
-            screen_pos, extents, depth, dil, config
-        )
     counts = jnp.where(emit, w * h, 0).astype(jnp.int32)
     return jnp.sum(counts)
 
@@ -136,14 +153,9 @@ def generate_sort_elements(
     pos = table.position
     n = pos.shape[0]
 
-    pos_view = project.view_transform(pos, view)
-    ndc = project.ndc_position(pos_view, proj)
-    visible = cull_mask(pos_view, ndc, config)
-
-    depth = project.depth_key(pos_view[:, 2], config)
-    cov2d = project.compute_cov2d(table.scale, table.rot, pos_view, view, config)
-    screen_pos = project.screen_space_position(pos_view, proj, config)
-    extents = project.tile_extents(screen_pos, cov2d, config)
+    pos_view, visible, depth, cov2d, screen_pos, extents = _frame_geometry(
+        table, view, proj, config
+    )
 
     # SH color (InitSortList.comp:122-126). The direction normalize produces
     # NaN for a gaussian exactly at the camera position; such gaussians are
@@ -175,15 +187,7 @@ def generate_sort_elements(
     # --- element allocation (scan replaces atomicAdd) ---------------------
     w = extents[:, 2] - extents[:, 0]
     h = extents[:, 3] - extents[:, 1]
-    emit = visible
-    if depth_thr is not None:
-        from . import prefilter
-
-        dil = prefilter.dilate_thresholds(depth_thr, config)
-        keep = prefilter.gaussian_keep_mask(
-            screen_pos, extents, depth, dil, config
-        )
-        emit = emit & keep
+    emit = _emit_mask(visible, screen_pos, extents, depth, config, depth_thr)
     counts = jnp.where(emit, w * h, 0).astype(jnp.int32)
     cum = jnp.cumsum(counts)
     total = cum[-1] if n > 0 else jnp.int32(0)

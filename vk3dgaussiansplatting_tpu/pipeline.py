@@ -171,6 +171,8 @@ class ChainedTemporalPlan:
             else capped_ops.init_caps(config)
         )
         self.mode = "full"  # "full" | "steady"
+        self.steady_declined = False  # a failed switch is not retried
+        self._count_fn = None
         self.frames = 0
         self._log = log or (lambda *a: None)
         self._sets = {}
@@ -241,6 +243,16 @@ class ChainedTemporalPlan:
         if first:
             self._log(f"  [compile] blend done t+{_time.time()-t0:.0f}s")
             self._first.add((cap_e, filtered))
+        if filtered:
+            # Steady-capacity overflow would TRUNCATE the element list for
+            # arbitrary tiles with range-fit validation still passing
+            # (r4 code review): flag the frame, and let draw()'s periodic
+            # check revert to the full set.
+            overflow = el.count >= jnp.uint32(cap_e)
+            ok = ok & jnp.logical_not(overflow)
+            self.last_overflow = overflow
+        else:
+            self.last_overflow = None
         self.last_ok, self.last_stats, self.last_count = ok, st, el.count
         # Host-side dispatch durations (async dispatch should be ~0; a
         # blocking call here means a hidden sync — see bench --dispatch-diag)
@@ -257,25 +269,32 @@ class ChainedTemporalPlan:
         syncs, so exclude from timing) and flips to steady mode if the
         filtered list fits the smaller capacity.  Returns True on switch.
         """
-        if not self.prefilter_on or self.mode == "steady":
+        if (
+            not self.prefilter_on
+            or self.mode == "steady"
+            or self.steady_declined
+        ):
             return self.mode == "steady"
         # Cheap feasibility probe first: the filtered live count via the
         # expansion-free count pipeline (compiles in seconds) — skipping
         # the steady program set's expensive compiles (the steady-capacity
         # sort alone is minutes on the remote compiler) when the scene's
-        # thresholds cannot drop enough to fit.
+        # thresholds cannot drop enough to fit.  The jit is cached on the
+        # plan (a fresh lambda per call would retrace every time).
         config = self.config
-        count_fn = jax.jit(
-            lambda t, v, p, c, thr: keygen_ops.count_live_elements(
-                t, v, p, c, config, depth_thr=thr
+        if self._count_fn is None:
+            self._count_fn = jax.jit(
+                lambda t, v, p, c, thr: keygen_ops.count_live_elements(
+                    t, v, p, c, config, depth_thr=thr
+                )
             )
-        )
-        est = int(count_fn(table, view, proj, cam_pos, self.state.thr))
+        est = int(self._count_fn(table, view, proj, cam_pos, self.state.thr))
         if est >= int(self.steady_capacity * 0.97):
             self._log(
                 f"steady switch skipped: filtered live ~{est/1e6:.2f}M "
                 f">= {self.steady_capacity/1e6:.2f}M steady capacity"
             )
+            self.steady_declined = True
             return False
         self.mode = "steady"
         for j in range(probes):
@@ -288,6 +307,7 @@ class ChainedTemporalPlan:
             )
             if cnt >= self.steady_capacity:
                 self.mode = "full"
+                self.steady_declined = True
                 self._log("steady capacity overflow; staying on full set")
                 # the overflow frame dropped arbitrary elements; let the
                 # temporal state re-validate on the full set
@@ -372,6 +392,16 @@ class Renderer:
             ):
                 self._plan.try_steady_switch(*args)
             image = self._plan.frame(*args)
+            if (
+                self._plan.mode == "steady"
+                and self._plan.frames % 8 == 0
+                and bool(self._plan.last_overflow)
+            ):
+                # Filtered live outgrew the steady capacity (camera moved
+                # into a denser region): the overflow frame was flagged
+                # not-ok; revert to the full set and allow a later re-probe.
+                self._plan.mode = "full"
+                self._plan.steady_declined = False
             return FrameOutputs(
                 image_u8=_quantize_jit(image),
                 image=image,
