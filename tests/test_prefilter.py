@@ -394,3 +394,35 @@ def test_chained_plan_steady_switch_end_to_end():
         q = np.round(np.asarray(img) * 255.0).astype(np.int32)
         assert np.abs(q - qf).max() <= 1
     assert int(plan.last_count) < count_full  # prefilter active
+
+
+def test_steady_overflow_is_flagged_and_switch_declines():
+    """r4 review findings: (a) a steady-capacity overflow must flag the
+    frame (keygen truncation passes range-fit validation silently);
+    (b) an infeasible switch is declined ONCE and not re-probed."""
+    from vk3dgaussiansplatting_tpu.pipeline import ChainedTemporalPlan
+
+    table, n = _walled_scene(n_front=1200, n_back=600)
+    cam = _camera()
+    tbl, view, proj, pos = _frame_inputs(table, cam)
+    capacity = PF_CONFIG.sort_capacity(n)
+
+    # (b) infeasible: steady capacity far below even the filtered live
+    logs = []
+    plan = ChainedTemporalPlan(
+        PF_CONFIG, capacity, steady_frac=0.05, log=logs.append
+    )
+    for _ in range(4):
+        plan.frame(tbl, view, proj, pos)
+    assert not plan.try_steady_switch(tbl, view, proj, pos)
+    assert plan.steady_declined
+    n_logs = len(logs)
+    assert not plan.try_steady_switch(tbl, view, proj, pos)
+    assert len(logs) == n_logs  # no re-probe, no new log line
+
+    # (a) force steady mode at the tiny capacity: keygen truncates, the
+    # overflow flag fires and demotes ok
+    plan.mode = "steady"
+    plan.frame(tbl, view, proj, pos)
+    assert bool(plan.last_overflow)
+    assert not bool(plan.last_ok)
