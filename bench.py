@@ -608,7 +608,10 @@ def main():
         # dispatch SYNCS (the r4 bench-vs-chain gap investigation).
         disp = [[] for _ in range(4)]
         for i in range(6):
-            dispatch[0](jnp.float32(i) * jnp.float32(1e-5))
+            # PYTHON float (a device scalar here re-introduces the per-frame
+            # blocking float() the adjacent run() comment warns about, and
+            # skews the very dispatch timings this loop measures)
+            dispatch[0](i * 1.0e-5)
             for k, v in enumerate(plan_cell[0].last_dispatch_ms):
                 disp[k].append(v)
         log("host dispatch ms [kg, sort, ranges, blend3] per frame: "

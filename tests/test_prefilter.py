@@ -426,3 +426,47 @@ def test_steady_overflow_is_flagged_and_switch_declines():
     plan.frame(tbl, view, proj, pos)
     assert bool(plan.last_overflow)
     assert not bool(plan.last_ok)
+    # (c) the device accumulator caught it too (r4 advisor: a per-window
+    # SAMPLE of last_overflow misses overflows on 7 of 8 frames) and pops
+    # exactly once
+    acc = plan.take_overflow_acc()
+    assert acc is not None and bool(acc)
+    assert plan.take_overflow_acc() is None
+
+
+def test_renderer_surfaces_ok_and_reverts_on_overflow(monkeypatch):
+    """Renderer.draw (chained-plan path): FrameOutputs.ok is a device
+    scalar mirroring plan.last_ok, and a steady-capacity overflow reverts
+    the plan to the full set within two 8-frame windows WITHOUT any
+    blocking fetch of the current frame (the stale-async protocol)."""
+    from vk3dgaussiansplatting_tpu import pipeline as pl
+
+    table, n = _walled_scene(n_front=1200, n_back=600)
+    cam = _camera()
+
+    monkeypatch.setattr(pl.Renderer, "BIG_SCENE_CAPACITY", 1)
+    monkeypatch.setattr(pl.Renderer, "WARMUP_FRAMES", 4)
+    r = pl.Renderer(PF_CONFIG, use_pallas_blend=True, steady_frac=0.9)
+    r.init_for_scene(table)
+    assert r._plan is not None
+    outs = [r.draw(cam) for _ in range(6)]
+    assert all(o.ok is not None for o in outs)
+    assert bool(outs[-1].ok)  # converged frames validate
+
+    # Force an overflow regime: shrink the steady capacity under the live
+    # count and re-enter steady mode.
+    plan = r._plan
+    assert plan.mode == "steady"
+    plan.steady_capacity = 512
+    plan._sets.clear()
+    plan._first.clear()
+    flagged = reverted = False
+    for i in range(24):
+        out = r.draw(cam)
+        flagged |= not bool(out.ok)
+        if plan.mode == "full":
+            reverted = True
+            break
+    assert flagged  # degraded frames were signaled through FrameOutputs.ok
+    assert reverted  # the stale-window check flipped the plan back to full
+    assert not plan.steady_declined  # re-probe allowed later

@@ -384,15 +384,26 @@ def _blend_tile_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _batch_capacity(config: RenderConfig, capacity: int) -> int:
+    """Static upper bound on live batches, PROVEN tight.
+
+    Per tile: nb_t = ceil((end_t - astart_t)/K) where astart aligns the
+    start down to ALIGN_K, so end - astart = r_t + lead_t with
+    lead_t < ALIGN_K.  ceil(x/K) < x/K + 1, hence
+    sum nb < (sum r + T*ALIGN_K)/K + T <= capacity/K + T*ALIGN_K/K + T.
+    The previous bound (capacity/K + 2T) over-counted by ~7K batches at
+    garden steady shapes — every one a DEAD grid step paying the
+    per-grid-step fixed cost (r5 probe quantifies it)."""
+    num_tiles = config.num_tiles
+    bk = config.blend_batch_k
+    return capacity // bk + num_tiles + (num_tiles * ALIGN_K) // bk + 2
+
+
 def _flat_schedule(ranges, config: RenderConfig, capacity: int):
     """Per-frame batch schedule: tile_of_batch, k0_of_batch, counts."""
     num_tiles = config.num_tiles
     bk = config.blend_batch_k
-    # Static upper bound on total batches: sum_t ceil((r_t + lead_t)/K) with
-    # lead_t <= ALIGN_K*(K/ALIGN_K - 1)/... conservatively each tile adds at
-    # most 2 partial batches (leading-alignment waste + trailing remainder)
-    # on top of its r_t/K full ones.
-    b_cap = capacity // bk + 2 * num_tiles
+    b_cap = _batch_capacity(config, capacity)
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
     astart = (starts // ALIGN_K) * ALIGN_K

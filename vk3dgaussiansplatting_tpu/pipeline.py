@@ -35,14 +35,26 @@ from .ops import sort as sort_ops
 
 
 _quantize_jit = jax.jit(lambda img: blend_ops.quantize_image(img))
+_or_jit = jax.jit(jnp.logical_or)
 
 
 class FrameOutputs(NamedTuple):
-    """One rendered frame plus inspection intermediates."""
+    """One rendered frame plus inspection intermediates.
+
+    `ok` is a [] bool DEVICE scalar (None on paths without the capped
+    policy): True when every tile validated (or was patched) this frame —
+    i.e. the frame is exact within the quantized-image contract.  A False
+    frame was degraded (steady-capacity overflow truncation or an
+    unpatchable prefiltered tile) and recovers within ~1 frame once the
+    temporal state reacts.  Callers that care should fetch it
+    asynchronously (fetching per frame serializes the dispatch queue —
+    CLAUDE.md).
+    """
 
     image_u8: jax.Array  # [H, W, 4] uint8 (rgba, the swapchain image)
     image: jax.Array  # [H, W, 3] float32 pre-quantization
     num_elements: jax.Array  # [] uint32 live sort elements
+    ok: jax.Array | None = None  # [] bool: frame validated (device scalar)
 
 
 @functools.partial(
@@ -109,7 +121,7 @@ def render_frame_temporal(
     )
     elements = sort_ops.sort_elements(elements, config)
     ranges = ranges_ops.find_ranges(elements, config.num_tiles)
-    image, caps_next, _ok = capped_ops.blend_tiles_capped_temporal(
+    image, caps_next, ok = capped_ops.blend_tiles_capped_temporal(
         elements, ranges, frame, config, caps
     )
     return (
@@ -117,6 +129,7 @@ def render_frame_temporal(
             image_u8=blend_ops.quantize_image(image),
             image=image,
             num_elements=elements.count,
+            ok=ok,
         ),
         caps_next,
     )
@@ -181,6 +194,12 @@ class ChainedTemporalPlan:
         self.last_ok = None
         self.last_stats = None
         self.last_count = None
+        # Steady-overflow accumulator: OR of every steady frame's overflow
+        # flag since the last `take_overflow_acc()` — a device scalar, so
+        # an intermittent overflow can never fall between periodic samples
+        # (r4 advisor).  `Renderer.draw` reads it with a one-window-stale
+        # async fetch (zero blocking syncs in the frame loop).
+        self._ovf_acc = None
 
     def _passes(self, cap_e: int, filtered: bool):
         key = (cap_e, filtered)
@@ -251,6 +270,14 @@ class ChainedTemporalPlan:
             overflow = el.count >= jnp.uint32(cap_e)
             ok = ok & jnp.logical_not(overflow)
             self.last_overflow = overflow
+            # OR-accumulate on device so no overflow frame can fall between
+            # the periodic samples (r4 advisor); a [] bool | is one tiny
+            # async-dispatched op per frame.
+            self._ovf_acc = (
+                overflow
+                if self._ovf_acc is None
+                else _or_jit(self._ovf_acc, overflow)
+            )
         else:
             self.last_overflow = None
         self.last_ok, self.last_stats, self.last_count = ok, st, el.count
@@ -261,6 +288,19 @@ class ChainedTemporalPlan:
         ]
         self.frames += 1
         return img
+
+    def take_overflow_acc(self):
+        """Pop the accumulated steady-overflow flag (device scalar or None)
+        and start its host transfer asynchronously; the caller reads the
+        value a window later (stale but sync-free — CLAUDE.md fetch rule)."""
+        acc = self._ovf_acc
+        self._ovf_acc = None
+        if acc is not None:
+            try:
+                acc.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests)
+                pass
+        return acc
 
     def try_steady_switch(self, table, view, proj, cam_pos, probes: int = 3):
         """Probe the prefiltered live count and switch to the steady set.
@@ -346,6 +386,7 @@ class Renderer:
         self.temporal_caps = use_pallas_blend and config.blend_depth_cap > 0
         self.steady_frac = steady_frac
         self._caps = None
+        self._ovf_pending = None  # previous window's overflow acc (async)
         self._plan: ChainedTemporalPlan | None = None
         self.table: GaussianTable | None = None
         self.capacity: int | None = None
@@ -354,6 +395,7 @@ class Renderer:
         """Upload the gaussian table and fix static sizes (Renderer.cpp:712)."""
         self.capacity = self.config.sort_capacity(table.num_gaussians)
         self._caps = None  # temporal caps reset on scene swap
+        self._ovf_pending = None
         self._plan = None
         if self.temporal_caps and self.capacity > self.BIG_SCENE_CAPACITY:
             self._plan = ChainedTemporalPlan(
@@ -392,20 +434,29 @@ class Renderer:
             ):
                 self._plan.try_steady_switch(*args)
             image = self._plan.frame(*args)
-            if (
-                self._plan.mode == "steady"
-                and self._plan.frames % 8 == 0
-                and bool(self._plan.last_overflow)
-            ):
-                # Filtered live outgrew the steady capacity (camera moved
-                # into a denser region): the overflow frame was flagged
-                # not-ok; revert to the full set and allow a later re-probe.
-                self._plan.mode = "full"
-                self._plan.steady_declined = False
+            if self._plan.mode == "steady" and self._plan.frames % 8 == 0:
+                # Overflow check, fetch-free: pop the device-accumulated
+                # OR of the last window's overflow flags (no frame can slip
+                # between samples) and read the PREVIOUS window's flag,
+                # whose async host copy has had a full window to land —
+                # bool() then returns without serializing the dispatch
+                # queue (the +28 ms/fetch tunnel tax, CLAUDE.md/r4 advisor).
+                pending = self._plan.take_overflow_acc()
+                stale = self._ovf_pending
+                self._ovf_pending = pending
+                if stale is not None and bool(stale):
+                    # Filtered live outgrew the steady capacity (camera
+                    # moved into a denser region): those frames were
+                    # flagged not-ok; revert to the full set and allow a
+                    # later re-probe.
+                    self._plan.mode = "full"
+                    self._plan.steady_declined = False
+                    self._ovf_pending = None
             return FrameOutputs(
                 image_u8=_quantize_jit(image),
                 image=image,
                 num_elements=self._plan.last_count,
+                ok=self._plan.last_ok,
             )
         if self.temporal_caps:
             from .ops import capped as capped_ops
