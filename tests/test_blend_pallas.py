@@ -135,3 +135,38 @@ def test_split_feature_tables_roundtrip(rng):
         np.testing.assert_array_equal(rows[:, col], want[:, col], err_msg=str(col))
     # rgb to f16 relative precision
     np.testing.assert_allclose(rows[:, 6:9], want[:, 6:9], rtol=1e-3, atol=1e-3)
+
+
+def test_feature_table6_roundtrip(rng):
+    """pack_feature_table6 + rows_from_table6 must reproduce the wide
+    feature rows: screen position exactly (f32), cov/opacity/rgb to f16
+    relative precision (the r5 single-width-6 transport)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk3dgaussiansplatting_tpu.ops.keygen import GaussianFrameData
+    from vk3dgaussiansplatting_tpu.ops.pallas import blend_kernel as bk
+
+    n = 1000
+    frame = GaussianFrameData(
+        color_alpha=jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32)),
+        cov2d=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        cov_inv=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        screen_pos=jnp.asarray(
+            rng.uniform(-500, 2500, (n, 2)).astype(np.float32)
+        ),
+    )
+    wide = np.asarray(bk.pack_feature_table(frame))
+    t6 = bk.pack_feature_table6(frame)
+    assert t6.shape == (n, 6)
+    idx = jnp.asarray(rng.integers(0, n, 4096).astype(np.int32))
+    rows = np.asarray(bk.rows_from_table6(jnp.take(t6, idx, axis=0)))
+    want = wide[np.asarray(idx)]
+    # screen position bit-exact (f32 transport); pad column zero
+    for col in (0, 1, 5):
+        np.testing.assert_array_equal(rows[:, col], want[:, col], err_msg=str(col))
+    # cov', rgb, galpha to f16 relative precision
+    for col in (2, 3, 4, 6, 7, 8, 9):
+        np.testing.assert_allclose(
+            rows[:, col], want[:, col], rtol=1e-3, atol=1e-6, err_msg=str(col)
+        )

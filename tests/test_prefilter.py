@@ -292,7 +292,55 @@ def test_temporal_prefilter_converges_and_stays_exact():
 def test_prefilter_miss_is_flagged_and_recovers():
     """After convergence, make the wall translucent (the occluded clutter
     becomes visible): the filtered frame is flagged not-ok, its tiles'
-    thresholds reset, and the frames after recovery are exact."""
+    thresholds reset, and the frames after recovery are exact.  Uses the
+    UNDAMPED snap reset (thr_reset_damp=False) — the 1-flagged-frame
+    recovery contract; the damped ramp is tested separately."""
+    cfg = dataclasses.replace(PF_CONFIG, thr_reset_damp=False)
+    cam = _camera()
+    table, n = _walled_scene()
+    tbl, view, proj, pos = _frame_inputs(table, cam)
+    capacity = cfg.sort_capacity(n)
+
+    state = capped_ops.init_caps_state(cfg)
+    for _ in range(7):
+        _img, state, ok, cnt0 = _run_frame(
+            tbl, view, proj, pos, capacity, state, config=cfg
+        )
+    n_filtered = (np.asarray(state.thr) != SENTINEL).sum()
+    assert n_filtered > 0
+    assert cnt0 < _full_reference(
+        tbl, view, proj, pos, capacity, cfg
+    )[1], "fixture must be actively filtering before the miss"
+
+    # same geometry, transparent everything: saturation collapses
+    translucent = dataclasses.replace(table, opacity=table.opacity * 0.02)
+    tbl2 = jax.tree.map(jnp.asarray, translucent)
+    _img_miss, state, ok_miss, _ = _run_frame(
+        tbl2, view, proj, pos, capacity, state, config=cfg
+    )
+    assert not bool(ok_miss), "prefilter miss must flag the frame"
+    assert (np.asarray(state.thr) == SENTINEL).all(), "thresholds must reset"
+
+    # next frame is unfiltered -> exact vs the full render
+    img_full, count_full = _full_reference(
+        tbl2, view, proj, pos, capacity, cfg
+    )
+    img2, state, _ok2, cnt2 = _run_frame(
+        tbl2, view, proj, pos, capacity, state, config=cfg
+    )
+    assert cnt2 == count_full  # unfiltered again
+    q = np.round(np.asarray(img2) * 255.0).astype(np.int32)
+    qf = np.round(img_full * 255.0).astype(np.int32)
+    assert np.abs(q - qf).max() <= 1
+
+
+def test_prefilter_miss_damped_ramp():
+    """With the (default) damped reset, a miss RAISES thresholds toward
+    SENTINEL monotonically instead of snapping — the filtered live count
+    re-admits geometrically (steady-capacity spike damping, VERDICT r4
+    #4) — and reaches the fully-unfiltered exact state within <= 4 frames,
+    with every post-recovery frame exact."""
+    assert PF_CONFIG.thr_reset_damp  # default on
     cam = _camera()
     table, n = _walled_scene()
     tbl, view, proj, pos = _frame_inputs(table, cam)
@@ -300,32 +348,41 @@ def test_prefilter_miss_is_flagged_and_recovers():
 
     state = capped_ops.init_caps_state(PF_CONFIG)
     for _ in range(7):
-        _img, state, ok, cnt0 = _run_frame(
+        _img, state, _ok, _c = _run_frame(
             tbl, view, proj, pos, capacity, state, config=PF_CONFIG
         )
-    n_filtered = (np.asarray(state.thr) != SENTINEL).sum()
-    assert n_filtered > 0
-    assert cnt0 < _full_reference(
-        tbl, view, proj, pos, capacity, PF_CONFIG
-    )[1], "fixture must be actively filtering before the miss"
+    thr0 = np.asarray(state.thr)
+    assert (thr0 != SENTINEL).sum() > 0
 
-    # same geometry, transparent everything: saturation collapses
     translucent = dataclasses.replace(table, opacity=table.opacity * 0.02)
     tbl2 = jax.tree.map(jnp.asarray, translucent)
-    _img_miss, state, ok_miss, _ = _run_frame(
-        tbl2, view, proj, pos, capacity, state, config=PF_CONFIG
-    )
-    assert not bool(ok_miss), "prefilter miss must flag the frame"
-    assert (np.asarray(state.thr) == SENTINEL).all(), "thresholds must reset"
-
-    # next frame is unfiltered -> exact vs the full render
     img_full, count_full = _full_reference(
         tbl2, view, proj, pos, capacity, PF_CONFIG
     )
-    img2, state, _ok2, cnt2 = _run_frame(
+
+    counts, prev = [], thr0.astype(np.uint64)
+    for i in range(5):
+        _img, state, ok, cnt = _run_frame(
+            tbl2, view, proj, pos, capacity, state, config=PF_CONFIG
+        )
+        cur = np.asarray(state.thr).astype(np.uint64)
+        # thresholds only ever RISE during the ramp (monotone re-admission)
+        assert (cur >= prev).all()
+        prev = cur
+        counts.append(cnt)
+        if i == 0:
+            assert not bool(ok), "miss frame must be flagged"
+            assert (cur == SENTINEL).sum() < PF_CONFIG.num_tiles, (
+                "damped reset must NOT snap every threshold at once"
+            )
+    # geometric re-admission: counts rise toward the full count
+    assert counts[-1] == count_full, "ramp must end fully unfiltered"
+    assert counts[0] < count_full
+    # post-recovery frame is exact vs the full render
+    img2, state, ok2, cnt2 = _run_frame(
         tbl2, view, proj, pos, capacity, state, config=PF_CONFIG
     )
-    assert cnt2 == count_full  # unfiltered again
+    assert cnt2 == count_full and bool(ok2)
     q = np.round(np.asarray(img2) * 255.0).astype(np.int32)
     qf = np.round(img_full * 255.0).astype(np.int32)
     assert np.abs(q - qf).max() <= 1

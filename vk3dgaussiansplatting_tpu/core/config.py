@@ -183,6 +183,19 @@ class RenderConfig:
     # blend kernel's in-loop early-out semantics still use
     # transmittance_stop exactly.  Bound documented in docs/TOLERANCES.md.
     cap_validation_factor: float = 4.0
+    # Damped prefilter-threshold reset (r5, VERDICT r4 #4): when a filtered
+    # tile must stop filtering (validation miss, or it no longer clears the
+    # publication bar), snap-resetting thr to SENTINEL re-admits the tile's
+    # ENTIRE dropped tail next frame — thousands of tiles churning this way
+    # spike the filtered live count past tight steady capacities (the
+    # measured steady-frac 0.54 instability, BENCH_EXTRA r4).  With damping
+    # on, the threshold instead RAISES halfway toward SENTINEL per frame
+    # (monotonically admitting more depth — always conservative-safe, see
+    # ops/prefilter.py), snapping to SENTINEL once within 1/8 of the key
+    # range, so a miss re-admits geometrically instead of all at once
+    # (<= 3 ramp frames).  Validation-missed filtered tiles are still
+    # flagged not-ok while the ramp runs.
+    thr_reset_damp: bool = True
 
     # ----- derived static quantities --------------------------------------
 

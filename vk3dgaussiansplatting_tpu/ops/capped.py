@@ -264,12 +264,13 @@ def _capped_core(
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 
-    # The dominant row-gather, split into two width-4 gathers (row-byte
-    # cost scaling, pack_feature_tables2 rationale).
-    ta, tb = blend_kernel.pack_feature_tables2(frame)
-    rows_a = jnp.take(ta, gid, axis=0, mode="clip")
-    rows_b = jnp.take(tb, gid, axis=0, mode="clip")
-    rows = blend_kernel.rows_from_tables2(rows_a, rows_b)
+    # The dominant row-gather: ONE width-6 gather (r5 — the measured width
+    # curve prices w6 ~43 ms vs the r4 two-width-4 split's 2x33-37 ms at
+    # 6.27M rows; pack_feature_table6 rationale).
+    t6 = blend_kernel.pack_feature_table6(frame)
+    rows = blend_kernel.rows_from_table6(
+        jnp.take(t6, gid, axis=0, mode="clip")
+    )
     feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
 
     pstart = sbase + off
@@ -419,12 +420,26 @@ def _policy_update(
     publish = valid & publish_deep & fits
     end_pos = jnp.clip(starts + counts - 1, 0, e - 1)
     depth_end = jnp.take(depth_col, end_pos, axis=0)
+    if config.thr_reset_damp:
+        # Damped reset (config rationale): a currently-filtered tile that
+        # stops publishing raises thr HALFWAY toward SENTINEL instead of
+        # snapping — each ramp frame re-admits half the remaining depth
+        # range (raising thr only ever drops FEWER gaussians: safe), so
+        # threshold churn cannot spike the filtered live count all at
+        # once.  Within 1/8 of the key range of SENTINEL the ramp snaps
+        # (bounds the ramp at <= 3 frames; near-sentinel thresholds filter
+        # almost nothing anyway).
+        sent = jnp.uint32(SENTINEL)
+        half = thr + (sent - thr) // jnp.uint32(2)
+        reset = jnp.where(sent - thr <= sent // jnp.uint32(8), sent, half)
+    else:
+        reset = jnp.full_like(thr, jnp.uint32(SENTINEL))
     # Clamp below SENTINEL: SENTINEL means "unfiltered", and the crossing
     # search probes thr + 1 (wraparound restriction, ops/search.py).
     thr_next = jnp.where(
         publish,
         jnp.minimum(depth_end, jnp.uint32(SENTINEL - 1)),
-        jnp.uint32(SENTINEL),
+        reset,
     )
     return caps_next, thr_next, floor_next, n_grow
 
@@ -581,13 +596,12 @@ def _patch_pass(img, valid, elements, ranges, frame, config: RenderConfig):
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 
-    # Narrow split gathers (width-4 rows) — the width-10 single gather
-    # costs ~2x per row, and with camera motion flipping 1-3 tiles the
-    # patch pass runs on MOST frames (r4).
-    ta, tb = blend_kernel.pack_feature_tables2(frame)
-    rows = blend_kernel.rows_from_tables2(
-        jnp.take(ta, gid, axis=0, mode="clip"),
-        jnp.take(tb, gid, axis=0, mode="clip"),
+    # Single width-6 gather (r5 width-curve rationale in
+    # pack_feature_table6) — with camera motion flipping 1-3 tiles the
+    # patch pass runs on MOST frames, so its gather format matters too.
+    t6 = blend_kernel.pack_feature_table6(frame)
+    rows = blend_kernel.rows_from_table6(
+        jnp.take(t6, gid, axis=0, mode="clip")
     )
     feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
 
@@ -630,7 +644,7 @@ def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
     """Phase 1: packed layout + index compaction + feature table.
 
     caps: [T] i32 caps array or CapsState (enables threshold trimming).
-    Returns (ta, tb, gid [ep] i32, live [ep] f32, pstart, counts,
+    Returns (t6 [N,6], gid [ep] i32, live [ep] f32, pstart, counts,
     r, fits, pcum_end)."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
@@ -669,21 +683,21 @@ def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
     gid_raw = compact_runs(elements.index, starts, sbase, ep, wmax)
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
-    ta, tb = blend_kernel.pack_feature_tables2(frame)
+    t6 = blend_kernel.pack_feature_table6(frame)
     pstart = sbase + off
     return (
-        ta, tb, gid, live.astype(jnp.float32), pstart, counts, r, fits,
+        t6, gid, live.astype(jnp.float32), pstart, counts, r, fits,
         pcum[-1],
     )
 
 
 @functools.partial(jax.jit, static_argnames=("bk",))
-def capped_gather(ta, tb, gid, live, bk: int):
-    """Phase 2: THE dominant row-gather — two width-4 gathers with
-    parameter operands (row-byte cost scaling)."""
-    rows_a = jnp.take(ta, gid, axis=0, mode="clip")
-    rows_b = jnp.take(tb, gid, axis=0, mode="clip")
-    rows = blend_kernel.rows_from_tables2(rows_a, rows_b)
+def capped_gather(t6, gid, live, bk: int):
+    """Phase 2: THE dominant row-gather — ONE width-6 gather with
+    parameter operands (pack_feature_table6 width-curve rationale)."""
+    rows = blend_kernel.rows_from_table6(
+        jnp.take(t6, gid, axis=0, mode="clip")
+    )
     return blend_kernel.features_from_rows(rows, live, bk)
 
 
@@ -788,10 +802,10 @@ def blend_tiles_capped_split(elements, ranges, frame, config, caps):
     [T] i32 array or a CapsState (threshold prefilter enabled)."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
-    ta, tb, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(
+    t6, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(
         elements, ranges, frame, config, caps
     )
-    feat = capped_gather(ta, tb, gid, live, config.blend_batch_k)
+    feat = capped_gather(t6, gid, live, config.blend_batch_k)
     return capped_finish(
         feat, pstart, counts, r, fits, pcum_end, caps, elements, ranges,
         frame, config, ep,

@@ -82,6 +82,31 @@ def pack_feature_table(frame: GaussianFrameData):
     return jax.lax.optimization_barrier(table)
 
 
+def _pack16(x, y):
+    """Two f32 columns -> one f32-bitcast word holding (f16(x), f16(y))."""
+    xb = jax.lax.bitcast_convert_type(
+        x.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    yb = jax.lax.bitcast_convert_type(
+        y.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        xb | (yb << jnp.uint32(16)), jnp.float32
+    )
+
+
+def _unpack16(w):
+    """Inverse of `_pack16` on a [E] f32-bitcast word column -> (x, y) f32."""
+    packed = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (packed & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (packed >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return lo, hi
+
+
 def pack_feature_tables2(frame: GaussianFrameData):
     """Per-gaussian blend features as TWO [N, 4] tables (narrow-gather
     layout).
@@ -97,6 +122,9 @@ def pack_feature_tables2(frame: GaussianFrameData):
 
       table_a [N,4] f32: gx, gy, a' (=-a/2), b' (=-b)
       table_b [N,4] f32: c' (=-c/2), galpha, pack16(r, g), pack16(b, 0)
+
+    Retained as the all-f32-cov A/B variant; the production capped path
+    uses `pack_feature_table6` (ONE width-6 gather, r5).
     """
     n = frame.screen_pos.shape[0]
     cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
@@ -104,17 +132,7 @@ def pack_feature_tables2(frame: GaussianFrameData):
         [frame.screen_pos, cov_scaled[:, 0:2]], axis=-1
     )
 
-    def pack16(x, y):
-        xb = jax.lax.bitcast_convert_type(
-            x.astype(jnp.float16), jnp.uint16
-        ).astype(jnp.uint32)
-        yb = jax.lax.bitcast_convert_type(
-            y.astype(jnp.float16), jnp.uint16
-        ).astype(jnp.uint32)
-        return jax.lax.bitcast_convert_type(
-            xb | (yb << jnp.uint32(16)), jnp.float32
-        )
-
+    pack16 = _pack16
     rg = pack16(frame.color_alpha[:, 0], frame.color_alpha[:, 1])
     b0 = pack16(frame.color_alpha[:, 2], jnp.zeros((n,), jnp.float32))
     table_b = jnp.concatenate(
@@ -129,6 +147,70 @@ def pack_feature_tables2(frame: GaussianFrameData):
     return (
         jax.lax.optimization_barrier(table_a),
         jax.lax.optimization_barrier(table_b),
+    )
+
+
+def pack_feature_table6(frame: GaussianFrameData):
+    """Per-gaussian blend features as ONE [N, 6] table — the production
+    capped-path transport (r5).
+
+    The r4 width curve (scripts/r4_width_probe.py, docs/PERFORMANCE.md cost
+    table) prices a single width-5/6 gather at ~43 ms for 6.27M rows vs
+    2x33-37 ms for the r4 two-width-4 split: ONE gather at width 6 beats
+    TWO at width 4 by ~25-30 ms, so the whole feature row rides one gather.
+    Screen position stays f32 (an f16 ulp at x~1024 is a full pixel); the
+    inverse-covariance terms and opacity ride as f16 pairs — their error is
+    RELATIVE (~4.9e-4), so |df| <= |f|*4.9e-4 <= 5.6*4.9e-4 ~ 2.8e-3 over
+    the eligible range (alpha >= 1/255 => f >= ln(cutoff) = -5.54), i.e.
+    alpha is exact to ~0.3% relative — inside the float image contract
+    (docs/TOLERANCES.md, class 2/5); rgb was already f16 in r4.
+
+      col 0: gx f32          col 3: pack16(c' (=-c/2), galpha)
+      col 1: gy f32          col 4: pack16(r, g)
+      col 2: pack16(a' (=-a/2), b' (=-b))
+                             col 5: pack16(b, 0)
+    """
+    n = frame.screen_pos.shape[0]
+    cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
+    table = jnp.concatenate(
+        [
+            frame.screen_pos,
+            _pack16(cov_scaled[:, 0], cov_scaled[:, 1])[:, None],
+            _pack16(cov_scaled[:, 2], frame.color_alpha[:, 3])[:, None],
+            _pack16(frame.color_alpha[:, 0], frame.color_alpha[:, 1])[:, None],
+            _pack16(
+                frame.color_alpha[:, 2], jnp.zeros((n,), jnp.float32)
+            )[:, None],
+        ],
+        axis=-1,
+    )
+    # One materialized buffer (same rationale as pack_feature_table):
+    # without the barrier the row-gather fuses per source operand.
+    return jax.lax.optimization_barrier(table)
+
+
+def rows_from_table6(rows6):
+    """Reassemble the kernel's [E, 10] feature rows from the width-6 gather
+    (inverse of pack_feature_table6's packing)."""
+    ap, bp = _unpack16(rows6[:, 2])
+    cp, galpha = _unpack16(rows6[:, 3])
+    r, g = _unpack16(rows6[:, 4])
+    b, _ = _unpack16(rows6[:, 5])
+    zeros = jnp.zeros_like(ap)
+    return jnp.stack(
+        [
+            rows6[:, 0],  # gx
+            rows6[:, 1],  # gy
+            ap,
+            bp,
+            cp,
+            zeros,
+            r,
+            g,
+            b,
+            galpha,
+        ],
+        axis=-1,
     )
 
 
@@ -592,7 +674,11 @@ def blend_flat_core(
     origin = jnp.asarray(origin_y, jnp.int32).reshape(1)
     num_tiles = config.num_tiles
     p = config.tile_size * config.tile_size
-    b_cap = capacity // bk + 2 * num_tiles  # must match _flat_schedule
+    # Grid length MUST equal the schedule arrays' length: a larger grid
+    # makes the output index map read tile_of_batch out of bounds (the
+    # exact bug shipped in the r4 batch-capacity tightening — the schedule
+    # shrank while this stayed on the old formula).
+    b_cap = _batch_capacity(config, capacity)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
