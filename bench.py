@@ -93,8 +93,8 @@ def build_frame_fn(config, capacity, blend_mode):
         elements = sort_ops.sort_elements(elements, config)
         ranges = ranges_ops.find_ranges(elements, config.num_tiles)
         if blend_mode == "capped":
-            image, caps_next, _ok = blend(elements, ranges, frame_data, caps)
-            return image, elements.count, caps_next
+            image, caps_next, ok = blend(elements, ranges, frame_data, caps)
+            return image, elements.count, caps_next, ok
         image = blend(elements, ranges, frame_data)
         return image, elements.count
 
@@ -224,29 +224,67 @@ def main():
                          "the default even without hardware flags; local "
                          "smoke runs MUST use this — a second concurrent "
                          "TPU client wedges the tunnel, CLAUDE.md)")
+    ap.add_argument("--single-scene", action="store_true",
+                    help="bench only --scene (default garden runs also "
+                         "record train7k_720p so driver artifacts catch "
+                         "cross-scene regressions, VERDICT r4 #5)")
+    ap.add_argument("--no-image-check", action="store_true",
+                    help="skip the end-of-run TPU-vs-CPU-reference image "
+                         "diff (VERDICT r4 #7)")
+    ap.add_argument("--ref-frame-out", default=None,
+                    help="INTERNAL (spawned with --cpu by the image check): "
+                         "render ONE reference frame of --scene at "
+                         "--ref-eps on the CPU XLA tier (strip-chunked) "
+                         "and save the quantized u8 image to this .npy")
+    ap.add_argument("--ref-eps", type=float, default=0.0)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
-    from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
-    from vk3dgaussiansplatting_tpu.render.camera import Camera
-    from vk3dgaussiansplatting_tpu.scenes.synthetic import (
-        procedural_cloud_table,
-        procedural_surface_table,
-    )
+    if args.ref_frame_out is not None:
+        assert args.cpu, "--ref-frame-out is a CPU-only mode"
+        ref_frame_main(args)
+        return
 
-    n_gauss, width, height, target_elems = SCENES[args.scene]
-    on_tpu = jax.default_backend() == "tpu"
-    blend_mode = args.blend
-    if blend_mode == "auto":
-        # Temporal per-tile caps are the production schedule (round 3): the
-        # capture-like scene saturates deeply (sat-diag 2026-08-21: 99.98%
-        # of tiles exact at cap 1024), caps converge within a few warmup
-        # frames, and steady-state frames skip both the full feature gather
-        # and the fallback entirely.
-        blend_mode = "capped" if (on_tpu and not args.no_pallas) else "xla"
-    config = RenderConfig(
+    # Multi-scene recording (VERDICT r4 #5): the default garden invocation
+    # also benches train7k_720p so BENCH_r{N}.json carries both lines.
+    scenes = [args.scene]
+    if (
+        not args.single_scene
+        and args.scene == "garden30k_1080p"
+        and not args.cpu
+        and args.scene_gen == "cloud"
+    ):
+        scenes.append("train7k_720p")
+    results = [run_scene(args, s) for s in scenes]
+    result = dict(results[0])
+    if len(results) > 1:
+        result["scenes"] = {
+            r["metric"]: {
+                "value": r["value"],
+                "vs_baseline": r["vs_baseline"],
+                **(
+                    {"image_ok": r["image_ok"]} if "image_ok" in r else {}
+                ),
+            }
+            for r in results
+        }
+    try:
+        import os as _os
+
+        _os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_scenes.json", "w") as f:
+            json.dump(results, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result), flush=True)
+
+
+def build_config(args, scene, blend_mode):
+    from vk3dgaussiansplatting_tpu.core.config import RenderConfig, SortAlgorithm
+
+    _n, width, height, _t = SCENES[scene]
+    return RenderConfig(
         width=width,
         height=height,
         sort_algorithm=SortAlgorithm.BITONIC
@@ -275,8 +313,19 @@ def main():
         ),
     )
 
-    log(f"bench scene={args.scene} n={n_gauss} {width}x{height} "
-        f"target_elems={target_elems} blend={blend_mode} sort={args.sort}")
+
+def build_scene(args, scene, config, capacity):
+    """Scene-gen build + benchmark camera + calibration memo; returns
+    (host_table, cam, mult, live).  Deterministic in (scene, seed,
+    generator, opacity mode), shared by run_scene and ref_frame_main so
+    the CPU reference renders EXACTLY the benched scene."""
+    from vk3dgaussiansplatting_tpu.render.camera import Camera
+    from vk3dgaussiansplatting_tpu.scenes.synthetic import (
+        procedural_cloud_table,
+        procedural_surface_table,
+    )
+
+    n_gauss, width, height, target_elems = SCENES[scene]
     t0 = time.time()
     if args.scene_gen == "ply-surface":
         # Capture-format round trip: export the surface scene as a binary
@@ -314,7 +363,6 @@ def main():
     cam = Camera(width / height)
     cam.set_position((0.0, 0.0, 2.0))
     cam.set_rotation(math.pi, 0.0)
-    capacity = config.sort_capacity(n_gauss)
     log(f"scene built in {time.time()-t0:.1f}s; capacity={capacity}")
 
     # The scene build is deterministic in (scene, seed, generator, opacity
@@ -328,7 +376,7 @@ def main():
     # formula change, so a stale memoized multiplier cannot silently skew
     # cross-round comparisons (advisor r3).
     cal_schema = 2
-    cal_key = (f"{args.scene}-{args.seed}-{args.scene_gen}-"
+    cal_key = (f"{scene}-{args.seed}-{args.scene_gen}-"
                f"{args.opacity_mode}-{capacity}-v{cal_schema}")
     cal_path = os.path.expanduser(f"~/.cache/vk3dgs_cal_{cal_key}.txt")
     t0 = time.time()
@@ -350,6 +398,62 @@ def main():
                 f.write(f"{mult} {live}")
         except OSError:
             pass
+    return host_table, cam, mult, live
+
+
+def run_scene(args, scene):
+    from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
+
+    n_gauss, width, height, target_elems = SCENES[scene]
+    on_tpu = jax.default_backend() == "tpu"
+    blend_mode = args.blend
+    if blend_mode == "auto":
+        # Temporal per-tile caps are the production schedule (round 3): the
+        # capture-like scene saturates deeply (sat-diag 2026-08-21: 99.98%
+        # of tiles exact at cap 1024), caps converge within a few warmup
+        # frames, and steady-state frames skip both the full feature gather
+        # and the fallback entirely.
+        blend_mode = "capped" if (on_tpu and not args.no_pallas) else "xla"
+    config = build_config(args, scene, blend_mode)
+    log(f"bench scene={scene} n={n_gauss} {width}x{height} "
+        f"target_elems={target_elems} blend={blend_mode} sort={args.sort}")
+    capacity = config.sort_capacity(n_gauss)
+    host_table, cam, mult, live = build_scene(args, scene, config, capacity)
+
+    # TPU-at-scale image verification (VERDICT r4 #7): spawn the CPU
+    # reference-frame subprocess NOW (it never touches the TPU tunnel, so
+    # it legally runs concurrently with the benchmark) and diff one
+    # steady-state frame against it at the end.
+    ref_proc = ref_path = None
+    image_check = (
+        not args.no_image_check
+        and on_tpu
+        and blend_mode == "capped"
+        and args.ref_frame_out is None
+    )
+    if image_check:
+        import os as _os
+        import subprocess
+
+        ref_schema = 1
+        ref_key = (f"{scene}-{args.seed}-{args.scene_gen}-"
+                   f"{args.opacity_mode}-{capacity}-{args.sort}-"
+                   f"e0-v{ref_schema}")
+        ref_path = _os.path.expanduser(f"~/.cache/vk3dgs_ref_{ref_key}.npy")
+        if not _os.path.exists(ref_path):
+            cmd = [
+                sys.executable, "-u", __file__, "--cpu",
+                "--scene", scene, "--scene-gen", args.scene_gen,
+                "--seed", str(args.seed), "--opacity-mode", args.opacity_mode,
+                "--sort", args.sort, "--ref-eps", "0.0",
+                "--ref-frame-out", ref_path,
+            ]
+            if args.slack is not None:
+                cmd += ["--slack", str(args.slack)]
+            log(f"image-check: spawned CPU reference renderer -> {ref_path}")
+            ref_proc = subprocess.Popen(
+                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+            )
 
     table = jax.device_put(
         GaussianTable(
@@ -396,22 +500,30 @@ def main():
         ok_cell = [[], 0, None]  # per-frame ok device scalars, frames, stats
     count_cell = [None]  # last frame's device element count
 
+    img_cell = [None, None]  # last frame's device (u8 image, ok) if tracked
+
     @jax.jit
     def frame_digest_raw(eps, caps):
+        from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+
         v2 = vj.at[2, 3].add(eps)  # perturb so nothing constant-folds
         if capped_mode:
-            img, count, caps_next = frame(table, v2, pj, cj, caps)
+            img, count, caps_next, ok = frame(table, v2, pj, cj, caps)
         else:
-            img, count, caps_next = *frame(table, v2, pj, cj), caps
+            img, count = frame(table, v2, pj, cj)
+            caps_next, ok = caps, jnp.bool_(True)
         d = jnp.sum(img[::97, ::97, 0]) + count.astype(jnp.float32) * jnp.float32(1e-9)
-        return d, caps_next
+        # u8 image rides as an (unfetched) output for the end-of-run image
+        # check — a [H,W,4] u8 store is noise next to the frame itself.
+        return d, caps_next, blend_ops.quantize_image(img), ok
 
     def frame_digest(eps):
         # Temporal caps ride between frames as device arrays (no host sync).
         caps = caps_cell[0] if capped_mode else jnp.int32(0)
-        d, caps_next = frame_digest_raw(eps, caps)
+        d, caps_next, img_u8, ok = frame_digest_raw(eps, caps)
         if capped_mode:
             caps_cell[0] = caps_next
+        img_cell[0], img_cell[1] = img_u8, ok
         return d
 
     dig = jax.jit(
@@ -448,6 +560,10 @@ def main():
         plan_cell[0] = plan
         caps_cell[0] = plan.state  # share telemetry with the warmup logs
 
+        from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+
+        q8 = jax.jit(blend_ops.quantize_image)
+
         def dispatch_fn(eps):
             img = plan.frame(table, view_of(float(eps)), pj, cj)
             caps_cell[0] = plan.state
@@ -457,6 +573,7 @@ def main():
             ok_cell[1] += 1
             ok_cell[2] = plan.last_stats
             count_cell[0] = plan.last_count
+            img_cell[0], img_cell[1] = q8(img), plan.last_ok
             # stays a device scalar: run() fetches once at the end
             return dig(img, plan.last_count)
 
@@ -616,7 +733,7 @@ def main():
                 disp[k].append(v)
         log("host dispatch ms [kg, sort, ranges, blend3] per frame: "
             + str([[round(x, 1) for x in d] for d in disp]))
-    baseline = BASELINES_MS[args.scene]
+    baseline = BASELINES_MS[scene]
 
     if capped_mode and ok_cell[1]:
         ok_n = int(jnp.sum(jnp.stack(
@@ -624,12 +741,189 @@ def main():
         )))
         log(f"capped fast-path rate: {ok_n}/{ok_cell[1]} frames validated")
     result = {
-        "metric": f"{args.scene}_ms_per_frame",
+        "metric": f"{scene}_ms_per_frame",
         "value": round(ms_per_frame, 3),
         "unit": "ms",
         "vs_baseline": round(baseline / ms_per_frame, 3),
     }
-    print(json.dumps(result), flush=True)
+
+    if image_check:
+        # One steady-state frame at eps=0, fetched and diffed against the
+        # CPU XLA-tier reference render of the same camera: the insurance
+        # that a TPU-only miscompile in any production kernel cannot hide
+        # behind in-graph validation (VERDICT r4 #7).  Retries a few eps if
+        # the frame happened to be degraded (ok=0).
+        img_u8 = ok_f = None
+        for i in range(3):
+            dispatch[0](0.0 if i == 0 else i * 1.0e-5)
+            if img_cell[0] is None:
+                break
+            ok_f = bool(img_cell[1]) if img_cell[1] is not None else True
+            if i == 0:
+                img_u8 = np.asarray(img_cell[0])  # eps=0 frame
+            if ok_f:
+                if i > 0:
+                    img_u8 = None  # ok frame is not the eps=0 one: refetch
+                    dispatch[0](0.0)
+                    ok_f = bool(img_cell[1])
+                    img_u8 = np.asarray(img_cell[0])
+                break
+        if ref_proc is not None:
+            t0 = time.time()
+            rc = ref_proc.wait()
+            log(f"image-check: CPU reference finished rc={rc} "
+                f"(+{time.time()-t0:.0f}s wait)")
+        import os as _os
+
+        if img_u8 is not None and ref_path and _os.path.exists(ref_path):
+            ref_u8 = np.load(ref_path)
+            d = np.abs(
+                img_u8[..., :3].astype(np.int32)
+                - ref_u8[..., :3].astype(np.int32)
+            )
+            frac_gt1 = float((d > 1).any(axis=-1).mean())
+            image_ok = bool(
+                (frac_gt1 <= 2e-3) and (d.max() <= 8) and (ok_f or frac_gt1 <= 2e-3)
+            )
+            log(f"image_ok: {image_ok} (frame ok={ok_f}, pixels |d|>1: "
+                f"{frac_gt1:.5f}, max |d|={int(d.max())}, "
+                f"mean |d|={d.mean():.4f})")
+            result["image_ok"] = image_ok
+            if not image_ok:
+                result["image_check"] = {
+                    "frac_gt1": frac_gt1,
+                    "max": int(d.max()),
+                }
+        else:
+            log("image_ok: SKIPPED (no reference frame or no image)")
+            result["image_ok"] = None
+    return result
+
+
+def _blend_strips_chunked(elements, ranges, frame_data, config):
+    """Full-image XLA-tier blend in tile-row strips (CPU reference tier).
+
+    blend_tiles_xla materializes O(E x 256) — ~40+ GB at garden capacity —
+    so the reference render slices the SORTED element list per strip of
+    tile rows (elements are tile-contiguous after the sort) and blends each
+    strip with blend_strip_colors_xla at a padded bucket size.  Exactly the
+    XLA tier's math (the oracle-pinned tier, docs/TOLERANCES.md), just
+    chunked."""
+    from vk3dgaussiansplatting_tpu.core.config import SENTINEL
+    from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+    from vk3dgaussiansplatting_tpu.ops.keygen import SortElements
+
+    rows_per_strip = 2
+    gw, gh = config.grid_width, config.grid_height
+    t_total = config.num_tiles
+    tiles_per = rows_per_strip * gw
+    p = config.tile_size * config.tile_size
+
+    r_host = np.asarray(ranges).astype(np.int64)
+    tile_h = np.asarray(elements.tile)
+    idx_h = np.asarray(elements.index)
+
+    # distinct pad buckets -> distinct compiles; pow2 buckets keep it few
+    def bucket(n):
+        b = 1 << 14
+        while b < n:
+            b *= 2
+        return b
+
+    colors_out = np.zeros((t_total, p, 3), np.float32)
+    strip_jit = jax.jit(
+        lambda el, rg, fr, t0t: blend_ops.blend_strip_colors_xla(
+            el, rg, fr, config, tile_base=t0t, num_strip_tiles=tiles_per
+        )[0]
+    )
+    for s in range(-(-gh // rows_per_strip)):
+        t0t = s * tiles_per
+        t1t = min(t0t + tiles_per, t_total)
+        seg = r_host[t0t:t1t]
+        ne = seg[:, 1] > seg[:, 0]
+        if not ne.any():
+            continue
+        e0 = int(seg[ne, 0].min())
+        e1 = int(seg[ne, 1].max())
+        n = e1 - e0
+        pad = bucket(n)
+        tiles = np.full(pad, SENTINEL, np.uint32)
+        tiles[:n] = tile_h[e0:e1]
+        gids = np.zeros(pad, np.uint32)
+        gids[:n] = idx_h[e0:e1]
+        el = SortElements(
+            tile=jnp.asarray(tiles),
+            depth=jnp.zeros(pad, jnp.uint32),  # blend never reads depth
+            index=jnp.asarray(gids),
+            count=jnp.uint32(n),
+        )
+        rg = jnp.asarray(np.clip(r_host - e0, 0, pad).astype(np.uint32))
+        colors = np.asarray(
+            strip_jit(el, rg, frame_data, jnp.int32(t0t))
+        )
+        colors_out[t0t:t1t] = colors[: t1t - t0t]
+    return np.asarray(
+        blend_ops.assemble_tile_colors(jnp.asarray(colors_out), config)
+    )
+
+
+def ref_frame_main(args):
+    """CPU reference-frame mode (--ref-frame-out): render ONE full
+    (uncapped) frame of --scene at the benchmark camera perturbed by
+    --ref-eps on the CPU XLA tier, and save the quantized u8 image."""
+    from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
+    from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+    from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
+    from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
+    from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
+
+    scene = args.scene
+    n_gauss, width, height, _t = SCENES[scene]
+    config = build_config(args, scene, "xla")  # uncapped reference
+    capacity = config.sort_capacity(n_gauss)
+    host_table, cam, mult, _live = build_scene(args, scene, config, capacity)
+    table = jax.device_put(
+        GaussianTable(
+            position=jnp.asarray(host_table.position),
+            scale=jnp.asarray(host_table.scale * np.float32(mult)),
+            rot=jnp.asarray(host_table.rot),
+            sh=jnp.asarray(host_table.sh),
+            opacity=jnp.asarray(host_table.opacity),
+        )
+    )
+    del host_table
+    view, proj = cam.matrices()
+    v = np.array(view, dtype=np.float32)
+    v[2, 3] += np.float32(args.ref_eps)
+    t0 = time.time()
+    elements, frame_data = jax.jit(
+        lambda t, vv, pp, cc: keygen_ops.generate_sort_elements(
+            t, vv, pp, cc, config, capacity
+        )
+    )(table, jnp.asarray(v), jnp.asarray(proj),
+      jnp.asarray(cam.position, dtype=jnp.float32))
+    elements = jax.jit(
+        lambda el: sort_ops.sort_elements(el, config)
+    )(elements)
+    ranges = jax.jit(
+        lambda el: ranges_ops.find_ranges(el, config.num_tiles)
+    )(elements)
+    log(f"ref-frame: keygen+sort+ranges in {time.time()-t0:.0f}s "
+        f"({int(elements.count)/1e6:.2f}M elements)")
+    t0 = time.time()
+    img = _blend_strips_chunked(elements, ranges, frame_data, config)
+    u8 = np.asarray(blend_ops.quantize_image(jnp.asarray(img)))
+    log(f"ref-frame: strip blend in {time.time()-t0:.0f}s")
+    import os as _os
+
+    d = _os.path.dirname(args.ref_frame_out)
+    if d:
+        _os.makedirs(d, exist_ok=True)
+    np.save(args.ref_frame_out, u8)
+    # np.save appends .npy if missing; normalize so the parent finds it
+    if not _os.path.exists(args.ref_frame_out):
+        _os.rename(args.ref_frame_out + ".npy", args.ref_frame_out)
+    log(f"ref-frame: saved {args.ref_frame_out}")
 
 
 if __name__ == "__main__":
