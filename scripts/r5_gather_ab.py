@@ -90,3 +90,85 @@ bench("2xw4 raw (full consume)", jax.jit(g_2w4_raw), ta, tb, gid)
 bench("w6 + unpack + features", jax.jit(g_w6_full), t6, gid, live)
 bench("w6 + BARRIER + unpack + features", jax.jit(g_w6_barrier), t6, gid, live)
 bench("2xw4 + unpack + features (r4 prod)", jax.jit(g_2w4_full), ta, tb, gid, live)
+
+# ---- cross-program layout matrix (r5): pass_bench showed the production
+# w6 gather at ~88-93 ms in-pipeline (the [N,8] cost) while the standalone
+# param probe reads 43-48: the [N,6] array apparently crosses the program
+# boundary in a padded/tiled layout.  Reproduce + find the fix.
+src = jnp.asarray(rng.normal(size=(N, 12)).astype(np.float32))
+
+
+@jax.jit
+def producer6(src):
+    # capped_layout-shaped producer: concat + barrier -> [N, 6] output
+    t = jnp.concatenate(
+        [src[:, 0:2], src[:, 3:4], src[:, 5:6], src[:, 7:8], src[:, 9:10]],
+        axis=-1,
+    )
+    return jax.lax.optimization_barrier(t)
+
+
+@jax.jit
+def producer6_flat(src):
+    t = jnp.concatenate(
+        [src[:, 0:2], src[:, 3:4], src[:, 5:6], src[:, 7:8], src[:, 9:10]],
+        axis=-1,
+    )
+    return jax.lax.optimization_barrier(t).reshape(-1)
+
+
+def g_w6_flat(s, t6f, gid, live):
+    rows = bk.rows_from_table6(
+        jnp.take(t6f.reshape(N, 6), gid, axis=0, mode="clip")
+    )
+    feat = bk.features_from_rows(rows, live, BK)
+    return digest(feat) + s * 0
+
+
+t6_prod = jax.block_until_ready(producer6(src))
+bench("w6 CROSS-PROGRAM (producer output)", jax.jit(g_w6_full), t6_prod,
+      gid, live)
+t6_flat = jax.block_until_ready(producer6_flat(src))
+bench("w6 cross-program FLAT [N*6] + reshape", jax.jit(g_w6_flat), t6_flat,
+      gid, live)
+t6_relay = jax.block_until_ready(jax.device_put(t6_prod))
+bench("w6 cross-program + device_put relayout", jax.jit(g_w6_full),
+      t6_relay, gid, live)
+
+
+@jax.jit
+def producer2(src):
+    ta = jax.lax.optimization_barrier(src[:, 0:4] * 1.0)
+    tb = jax.lax.optimization_barrier(src[:, 4:8] * 1.0)
+    return ta, tb
+
+
+ta_p, tb_p = jax.block_until_ready(producer2(src))
+bench("2xw4 CROSS-PROGRAM (producer output)", jax.jit(g_2w4_full), ta_p,
+      tb_p, gid, live)
+
+
+# in-ONE-program: build table AND gather in the same jit
+def g_w6_fused(s, src, gid, live):
+    t = jnp.concatenate(
+        [src[:, 0:2], src[:, 3:4], src[:, 5:6], src[:, 7:8], src[:, 9:10]],
+        axis=-1,
+    )
+    t = jax.lax.optimization_barrier(t)
+    rows = bk.rows_from_table6(jnp.take(t, gid, axis=0, mode="clip"))
+    feat = bk.features_from_rows(rows, live, BK)
+    return digest(feat) + s * 0
+
+
+bench("w6 IN-GRAPH table (one program)", jax.jit(g_w6_fused), src, gid, live)
+
+
+# w8-padded table, param (upper bound sanity)
+t8 = jnp.asarray(rng.normal(size=(N, 8)).astype(np.float32))
+
+
+def g_w8(s, t8, gid):
+    return jnp.sum(jnp.take(t8, gid, axis=0, mode="clip")) + s * 0
+
+
+bench("w8 raw param", jax.jit(g_w8), t8, gid)

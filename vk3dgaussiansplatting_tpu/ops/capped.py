@@ -264,12 +264,16 @@ def _capped_core(
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 
-    # The dominant row-gather: ONE width-6 gather (r5 — the measured width
-    # curve prices w6 ~43 ms vs the r4 two-width-4 split's 2x33-37 ms at
-    # 6.27M rows; pack_feature_table6 rationale).
-    t6 = blend_kernel.pack_feature_table6(frame)
-    rows = blend_kernel.rows_from_table6(
-        jnp.take(t6, gid, axis=0, mode="clip")
+    # The dominant row-gather, split into two width-4 gathers.  (r5 note:
+    # a single width-6 table was built and A/B'd — 24 B rows sit past the
+    # >16 B width cliff and the production-context pass_bench split phase
+    # measured 139 vs 117 ms, so the w4 pair stands; the r4 width-probe's
+    # "w5/w6 = 43 ms" row was an artifact of its [:8,:] output slice +
+    # the python-loop fetch protocol.  scripts/r5_gather_ab.py.)
+    ta, tb = blend_kernel.pack_feature_tables2(frame)
+    rows = blend_kernel.rows_from_tables2(
+        jnp.take(ta, gid, axis=0, mode="clip"),
+        jnp.take(tb, gid, axis=0, mode="clip"),
     )
     feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
 
@@ -596,12 +600,13 @@ def _patch_pass(img, valid, elements, ranges, frame, config: RenderConfig):
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
 
-    # Single width-6 gather (r5 width-curve rationale in
-    # pack_feature_table6) — with camera motion flipping 1-3 tiles the
-    # patch pass runs on MOST frames, so its gather format matters too.
-    t6 = blend_kernel.pack_feature_table6(frame)
-    rows = blend_kernel.rows_from_table6(
-        jnp.take(t6, gid, axis=0, mode="clip")
+    # Narrow split gathers (width-4 rows) — with camera motion flipping
+    # 1-3 tiles the patch pass runs on MOST frames, so its gather format
+    # matters too (same w4-pair rationale as _capped_core).
+    ta, tb = blend_kernel.pack_feature_tables2(frame)
+    rows = blend_kernel.rows_from_tables2(
+        jnp.take(ta, gid, axis=0, mode="clip"),
+        jnp.take(tb, gid, axis=0, mode="clip"),
     )
     feat = blend_kernel.features_from_rows(rows, live.astype(jnp.float32), bk)
 
@@ -644,7 +649,7 @@ def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
     """Phase 1: packed layout + index compaction + feature table.
 
     caps: [T] i32 caps array or CapsState (enables threshold trimming).
-    Returns (t6 [N,6], gid [ep] i32, live [ep] f32, pstart, counts,
+    Returns (ta, tb [N,4], gid [ep] i32, live [ep] f32, pstart, counts,
     r, fits, pcum_end)."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
@@ -683,20 +688,22 @@ def capped_layout(elements, ranges, frame, config: RenderConfig, caps):
     gid_raw = compact_runs(elements.index, starts, sbase, ep, wmax)
     live = seg_live & (gid_raw != jnp.uint32(SENTINEL))
     gid = jnp.where(live, gid_raw, jnp.uint32(0)).astype(jnp.int32)
-    t6 = blend_kernel.pack_feature_table6(frame)
+    ta, tb = blend_kernel.pack_feature_tables2(frame)
     pstart = sbase + off
     return (
-        t6, gid, live.astype(jnp.float32), pstart, counts, r, fits,
+        ta, tb, gid, live.astype(jnp.float32), pstart, counts, r, fits,
         pcum[-1],
     )
 
 
 @functools.partial(jax.jit, static_argnames=("bk",))
-def capped_gather(t6, gid, live, bk: int):
-    """Phase 2: THE dominant row-gather — ONE width-6 gather with
-    parameter operands (pack_feature_table6 width-curve rationale)."""
-    rows = blend_kernel.rows_from_table6(
-        jnp.take(t6, gid, axis=0, mode="clip")
+def capped_gather(ta, tb, gid, live, bk: int):
+    """Phase 2: THE dominant row-gather — two width-4 gathers with
+    parameter operands (row-byte cost scaling; w4-pair rationale in
+    _capped_core)."""
+    rows = blend_kernel.rows_from_tables2(
+        jnp.take(ta, gid, axis=0, mode="clip"),
+        jnp.take(tb, gid, axis=0, mode="clip"),
     )
     return blend_kernel.features_from_rows(rows, live, bk)
 
@@ -802,10 +809,10 @@ def blend_tiles_capped_split(elements, ranges, frame, config, caps):
     [T] i32 array or a CapsState (threshold prefilter enabled)."""
     capacity = elements.tile.shape[0]
     ep = packed_capacity_temporal(config, capacity)
-    t6, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(
+    ta, tb, gid, live, pstart, counts, r, fits, pcum_end = capped_layout(
         elements, ranges, frame, config, caps
     )
-    feat = capped_gather(t6, gid, live, config.blend_batch_k)
+    feat = capped_gather(ta, tb, gid, live, config.blend_batch_k)
     return capped_finish(
         feat, pstart, counts, r, fits, pcum_end, caps, elements, ranges,
         frame, config, ep,
