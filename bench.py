@@ -181,7 +181,7 @@ def main():
                          "a tighter value shrinks every per-slot pass — "
                          "results stay exact as long as nothing overflows, "
                          "which the live-element log confirms)")
-    ap.add_argument("--steady-frac", type=float, default=0.62,
+    ap.add_argument("--steady-frac", type=float, default=0.48,
                     help="temporal depth-prefilter steady-state capacity, "
                          "as a fraction of the full sort capacity: after "
                          "the caps/thresholds warmup, keygen drops "
@@ -770,7 +770,12 @@ def run_scene(args, scene):
                 break
         if ref_proc is not None:
             t0 = time.time()
-            rc = ref_proc.wait()
+            try:
+                rc = ref_proc.wait(timeout=2400)
+            except Exception:
+                ref_proc.kill()
+                rc = -1
+                log("image-check: CPU reference TIMED OUT (killed)")
             log(f"image-check: CPU reference finished rc={rc} "
                 f"(+{time.time()-t0:.0f}s wait)")
         import os as _os

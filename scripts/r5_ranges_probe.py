@@ -18,16 +18,24 @@ from vk3dgaussiansplatting_tpu.ops.keygen import SortElements
 T = 8160
 
 
-def bench(name, f, *xargs, iters=8):
-    def run(n):
-        d = None
-        for i in range(n):
-            d = f(jnp.uint32(i), *xargs)
-        return float(d)
+def bench(name, f, *xargs, iters=16):
+    """In-jit fori protocol (CLAUDE.md): the dispatch-loop + fetch timing
+    is unreliable over the tunnel (r5 gather-probe lesson)."""
+    from jax import lax
 
-    t0 = time.perf_counter(); run(1); c = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(iters + 1); tn = time.perf_counter() - t0
+    def run(k, *a):
+        def body(i, acc):
+            return acc * jnp.float32(1e-30) + f(i.astype(jnp.uint32), *a)
+
+        return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    g = jax.jit(run)
+    t0 = time.perf_counter(); float(g(jnp.int32(1), *xargs))
+    c = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(g(jnp.int32(1), *xargs))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(g(jnp.int32(iters + 1), *xargs))
+    tn = time.perf_counter() - t0
     print(f"{name}: {(tn - t1) / iters * 1e3:.2f} ms (first {c:.1f}s)",
           flush=True)
 
@@ -47,7 +55,7 @@ def make_elements(e, live, seed=3):
 
 def fr(s, el):
     el2 = SortElements(
-        tile=el.tile | (s & jnp.uint32(0)), depth=el.depth, index=el.index,
+        tile=el.tile | (s >> jnp.uint32(31)), depth=el.depth, index=el.index,
         count=el.count,
     )
     r = ranges_ops.find_ranges(el2, T)
@@ -80,7 +88,7 @@ def search3(arr, probes, c1=1024, c2=64):
 
 
 def fr3(s, el):
-    tile = el.tile | (s & jnp.uint32(0))
+    tile = el.tile | (s >> jnp.uint32(31))
     probes = jnp.arange(T + 1, dtype=jnp.uint32)
     ext = search3(tile, probes)
     return jnp.sum(ext.astype(jnp.float32))

@@ -189,12 +189,14 @@ class RenderConfig:
     # ENTIRE dropped tail next frame — thousands of tiles churning this way
     # spike the filtered live count past tight steady capacities (the
     # measured steady-frac 0.54 instability, BENCH_EXTRA r4).  With damping
-    # on, the threshold instead RAISES halfway toward SENTINEL per frame
-    # (monotonically admitting more depth — always conservative-safe, see
-    # ops/prefilter.py), snapping to SENTINEL once within 1/8 of the key
-    # range, so a miss re-admits geometrically instead of all at once
-    # (<= 3 ramp frames).  Validation-missed filtered tiles are still
-    # flagged not-ok while the ramp runs.
+    # on, the threshold instead DOUBLES per frame (monotonically admitting
+    # more depth — always conservative-safe, see ops/prefilter.py; depth
+    # keys compress the scene toward small values, so doubling is
+    # geometric in content depth where a halfway-to-SENTINEL step is
+    # effectively a snap), with an additive floor for progress and a snap
+    # at half the key range (<= ~6 ramp frames from any threshold).
+    # Validation-missed filtered tiles are still flagged not-ok while the
+    # ramp runs.
     thr_reset_damp: bool = True
 
     # ----- derived static quantities --------------------------------------

@@ -426,16 +426,22 @@ def _policy_update(
     depth_end = jnp.take(depth_col, end_pos, axis=0)
     if config.thr_reset_damp:
         # Damped reset (config rationale): a currently-filtered tile that
-        # stops publishing raises thr HALFWAY toward SENTINEL instead of
-        # snapping — each ramp frame re-admits half the remaining depth
-        # range (raising thr only ever drops FEWER gaussians: safe), so
-        # threshold churn cannot spike the filtered live count all at
-        # once.  Within 1/8 of the key range of SENTINEL the ramp snaps
-        # (bounds the ramp at <= 3 frames; near-sentinel thresholds filter
-        # almost nothing anyway).
+        # stops publishing DOUBLES its threshold per frame instead of
+        # snapping to SENTINEL (raising thr only ever drops FEWER
+        # gaussians: safe).  Depth keys compress the scene toward small
+        # values (near/far normalization), so doubling re-admits dropped
+        # content geometrically in DEPTH — a halfway-to-SENTINEL ramp was
+        # measured to re-admit nearly everything in one frame and still
+        # spike tight steady capacities (r5 A/B, steady-frac 0.54).  The
+        # additive floor guarantees progress from tiny thresholds; at
+        # S/2 the ramp snaps (<= ~6 ramp frames from any threshold).
         sent = jnp.uint32(SENTINEL)
-        half = thr + (sent - thr) // jnp.uint32(2)
-        reset = jnp.where(sent - thr <= sent // jnp.uint32(8), sent, half)
+        high = thr >= sent // jnp.uint32(2)
+        dbl = jnp.maximum(
+            jnp.where(high, sent, thr * jnp.uint32(2)),
+            sent // jnp.uint32(64),
+        )
+        reset = jnp.where(high, sent, dbl)
     else:
         reset = jnp.full_like(thr, jnp.uint32(SENTINEL))
     # Clamp below SENTINEL: SENTINEL means "unfiltered", and the crossing
