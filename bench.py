@@ -799,6 +799,15 @@ def run_scene(args, scene):
                     "frac_gt1": frac_gt1,
                     "max": int(d.max()),
                 }
+                try:
+                    from vk3dgaussiansplatting_tpu.io.image import write_png
+
+                    _os.makedirs("artifacts", exist_ok=True)
+                    write_png(f"artifacts/imgcheck_{scene}_tpu.png", img_u8)
+                    write_png(f"artifacts/imgcheck_{scene}_ref.png", ref_u8)
+                    log(f"image-check: dumped artifacts/imgcheck_{scene}_*.png")
+                except Exception as exc:  # noqa: BLE001
+                    log(f"image-check dump failed: {exc}")
         else:
             log("image_ok: SKIPPED (no reference frame or no image)")
             result["image_ok"] = None

@@ -121,10 +121,11 @@ def pack_feature_tables2(frame: GaussianFrameData):
     accumulation).
 
       table_a [N,4] f32: gx, gy, a' (=-a/2), b' (=-b)
-      table_b [N,4] f32: c' (=-c/2), galpha, pack16(r, g), pack16(b, 0)
+      table_b [N,4] f32: c' (=-c/2), galpha, pack16(r, g), pack16(b, b)
 
-    Retained as the all-f32-cov A/B variant; the production capped path
-    uses `pack_feature_table6` (ONE width-6 gather, r5).
+    THE production capped-path transport (the r5 single width-6 table was
+    A/B'd and retired — 24 B rows sit past the >16 B width cliff in the
+    production split phase; see pack_feature_table6).
     """
     n = frame.screen_pos.shape[0]
     cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
@@ -134,7 +135,13 @@ def pack_feature_tables2(frame: GaussianFrameData):
 
     pack16 = _pack16
     rg = pack16(frame.color_alpha[:, 0], frame.color_alpha[:, 1])
-    b0 = pack16(frame.color_alpha[:, 2], jnp.zeros((n,), jnp.float32))
+    # The hi half is unused — but it must NOT be a constant zero: packing
+    # (b, zeros) compiles to an ALL-ZEROS word on the 2026-08 TPU server
+    # stack (blue channel silently lost, caught by the bench image check;
+    # scripts/r5_pack_probe2.py: word bits 0x0 at build while rg packs
+    # fine and the unpack is exact).  Duplicating b keeps both operands
+    # live data.
+    b0 = pack16(frame.color_alpha[:, 2], frame.color_alpha[:, 2])
     table_b = jnp.concatenate(
         [
             cov_scaled[:, 2:3],
@@ -151,13 +158,14 @@ def pack_feature_tables2(frame: GaussianFrameData):
 
 
 def pack_feature_table6(frame: GaussianFrameData):
-    """Per-gaussian blend features as ONE [N, 6] table — the production
-    capped-path transport (r5).
+    """Per-gaussian blend features as ONE [N, 6] table — RETIRED r5
+    experiment, kept as a tested utility.
 
-    The r4 width curve (scripts/r4_width_probe.py, docs/PERFORMANCE.md cost
-    table) prices a single width-5/6 gather at ~43 ms for 6.27M rows vs
-    2x33-37 ms for the r4 two-width-4 split: ONE gather at width 6 beats
-    TWO at width 4 by ~25-30 ms, so the whole feature row rides one gather.
+    The r4 width-probe curve priced a single w6 gather at ~43 ms, but that
+    probe consumed only [:8,:] of the output under the unreliable
+    dispatch-loop protocol; in the production split phase the w6 table
+    measured 139 vs 117 ms (24 B rows sit past the >16 B width cliff), so
+    the two width-4 tables (pack_feature_tables2) remain production.
     Screen position stays f32 (an f16 ulp at x~1024 is a full pixel); the
     inverse-covariance terms and opacity ride as f16 pairs — their error is
     RELATIVE (~4.9e-4), so |df| <= |f|*4.9e-4 <= 5.6*4.9e-4 ~ 2.8e-3 over
@@ -168,7 +176,7 @@ def pack_feature_table6(frame: GaussianFrameData):
       col 0: gx f32          col 3: pack16(c' (=-c/2), galpha)
       col 1: gy f32          col 4: pack16(r, g)
       col 2: pack16(a' (=-a/2), b' (=-b))
-                             col 5: pack16(b, 0)
+                             col 5: pack16(b, b)
     """
     n = frame.screen_pos.shape[0]
     cov_scaled = frame.cov_inv * jnp.array([-0.5, -1.0, -0.5], jnp.float32)
@@ -178,8 +186,10 @@ def pack_feature_table6(frame: GaussianFrameData):
             _pack16(cov_scaled[:, 0], cov_scaled[:, 1])[:, None],
             _pack16(cov_scaled[:, 2], frame.color_alpha[:, 3])[:, None],
             _pack16(frame.color_alpha[:, 0], frame.color_alpha[:, 1])[:, None],
+            # hi half unused but must not be constant zero (the all-zeros
+            # word miscompile, see pack_feature_tables2)
             _pack16(
-                frame.color_alpha[:, 2], jnp.zeros((n,), jnp.float32)
+                frame.color_alpha[:, 2], frame.color_alpha[:, 2]
             )[:, None],
         ],
         axis=-1,
