@@ -164,7 +164,7 @@ class ChainedTemporalPlan:
         config: RenderConfig,
         capacity: int,
         *,
-        steady_frac: float = 0.48,
+        steady_frac: float = 0.54,
         log=None,
     ):
         from .ops import capped as capped_ops
@@ -374,7 +374,7 @@ class Renderer:
         config: RenderConfig,
         *,
         use_pallas_blend: bool | None = None,
-        steady_frac: float = 0.48,
+        steady_frac: float = 0.54,
     ):
         self.config = config
         if use_pallas_blend is None:
