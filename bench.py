@@ -237,6 +237,12 @@ def main():
                          "--ref-eps on the CPU XLA tier (strip-chunked) "
                          "and save the quantized u8 image to this .npy")
     ap.add_argument("--ref-eps", type=float, default=0.0)
+    ap.add_argument("--crossdata", default=None,
+                    help="INTERNAL (spawned with --cpu by the image check): "
+                         "blend the TPU-fetched element/frame arrays in "
+                         "this .npz through the CPU f64 reference tier and "
+                         "print a one-line JSON diff verdict vs the npz's "
+                         "TPU image")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -244,6 +250,10 @@ def main():
     if args.ref_frame_out is not None:
         assert args.cpu, "--ref-frame-out is a CPU-only mode"
         ref_frame_main(args)
+        return
+    if args.crossdata is not None:
+        assert args.cpu, "--crossdata is a CPU-only mode"
+        crossdata_main(args)
         return
 
     # Multi-scene recording (VERDICT r4 #5): the default garden invocation
@@ -808,47 +818,160 @@ def run_scene(args, scene):
             log(f"image-check: CPU reference finished rc={rc} "
                 f"(+{time.time()-t0:.0f}s wait)")
         import os as _os
+        import subprocess
 
+        # ---- Part 1 (tight): blend/transport certification on IDENTICAL
+        # inputs.  Fetch the check frame's sorted elements + frame data
+        # from the TPU and blend them through the CPU f64 reference tier:
+        # measured agreement on same data is max |d| = 2, mean 0.16
+        # (scripts/r5_crossdata_check.py), so the bar can be razor-tight —
+        # this is what caught-the-blue-channel-class bugs trip.
+        cross_ok = None
+        el_d = rg_d = fr_d = None
+        if plan_cell[0] is not None and plan_cell[0].last_elements is not None:
+            el_d = plan_cell[0].last_elements
+            rg_d = plan_cell[0].last_ranges
+            fr_d = plan_cell[0].last_frame
+        elif img_u8 is not None:
+            # Monolithic (small-scene) path: elements don't depend on the
+            # temporal caps, so a per-pass recompute at the check view is
+            # bit-identical to the checked frame's inputs.
+            from vk3dgaussiansplatting_tpu.ops import keygen as keygen_ops
+            from vk3dgaussiansplatting_tpu.ops import ranges as ranges_ops
+            from vk3dgaussiansplatting_tpu.ops import sort as sort_ops
+
+            kg2 = jax.jit(
+                lambda t, v: keygen_ops.generate_sort_elements(
+                    t, v, pj, cj, config, capacity
+                )
+            )
+            el_d, fr_d = kg2(table, view_of(0.0))
+            el_d = jax.jit(lambda e: sort_ops.sort_elements(e, config))(el_d)
+            rg_d = jax.jit(
+                lambda e: ranges_ops.find_ranges(e, config.num_tiles)
+            )(el_d)
+        if img_u8 is not None and el_d is not None:
+            xd_path = _os.path.expanduser(f"~/.cache/vk3dgs_xd_{scene}.npz")
+            t0 = time.time()
+            np.savez(
+                xd_path,
+                tile=np.asarray(el_d.tile), depth=np.asarray(el_d.depth),
+                index=np.asarray(el_d.index), count=np.asarray(el_d.count),
+                ranges=np.asarray(rg_d),
+                screen_pos=np.asarray(fr_d.screen_pos),
+                color_alpha=np.asarray(fr_d.color_alpha),
+                cov_inv=np.asarray(fr_d.cov_inv),
+                img_u8=img_u8,
+            )
+            log(f"image-check: fetched check-frame arrays in "
+                f"{time.time()-t0:.0f}s -> {xd_path}")
+            cmd = [sys.executable, "-u", __file__, "--cpu",
+                   "--scene", scene, "--crossdata", xd_path]
+            t0 = time.time()
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=1800
+                )
+                verdict = json.loads(out.stdout.strip().splitlines()[-1])
+            except Exception as exc:  # noqa: BLE001
+                log(f"image-check: crossdata subprocess failed: {exc}")
+                verdict = None
+            if verdict is not None:
+                cross_ok = bool(
+                    verdict["mean"] <= 0.75 and verdict["max"] <= 8
+                )
+                log(f"image-check crossdata (blend certification, "
+                    f"+{time.time()-t0:.0f}s): {verdict} -> "
+                    f"{'OK' if cross_ok else 'FAIL'}")
+                result["image_check_blend"] = verdict
+
+        # ---- Part 2 (loose): keygen sanity vs the independently-computed
+        # CPU reference (same scene, CPU keygen).  The residual here is the
+        # cross-platform transcendental drift in per-gaussian frame data
+        # (exp/rsqrt/div in projection + SH), measured mean |d| 1.7 at
+        # train7k and 5.5 at garden — a keygen MISCOMPILE shows up as the
+        # 13-57-mean class.  docs/TOLERANCES.md transcendental-parity
+        # caveat; verified blend-independent by r5_crossdata_check.
+        drift_ok = None
         if img_u8 is not None and ref_path and _os.path.exists(ref_path):
             ref_u8 = np.load(ref_path)
             d = np.abs(
                 img_u8[..., :3].astype(np.int32)
                 - ref_u8[..., :3].astype(np.int32)
             )
-            frac_gt1 = float((d > 1).any(axis=-1).mean())
             frac_gt16 = float((d > 16).any(axis=-1).mean())
-            # Bar rationale (docs/PERFORMANCE.md r5 correctness event):
-            # the reference accumulates transmittance in f64 with
-            # f32-matched eligibility, so legitimate drift is the
-            # production tier's own f32 tree-product error plus bounded
-            # capped tails (sub-quantum) and rare knife-edge flips; the
-            # miscompile class this check exists for (a silently zeroed
-            # channel) measured mean |d| 13-57 over >= 99% of pixels.
-            # The bar sits an order above legit drift and well below the
-            # bug signature.
-            image_ok = bool((d.mean() <= 2.0) and (frac_gt16 <= 5e-3))
-            log(f"image_ok: {image_ok} (frame ok={ok_f}, pixels |d|>1: "
-                f"{frac_gt1:.5f}, |d|>16: {frac_gt16:.5f}, "
-                f"max |d|={int(d.max())}, mean |d|={d.mean():.4f})")
+            drift_ok = bool(d.mean() <= 9.0 and frac_gt16 <= 0.3)
+            log(f"image-check keygen-drift (cross-platform): mean |d| "
+                f"{d.mean():.3f}, |d|>16 {frac_gt16:.4f}, max "
+                f"{int(d.max())} -> {'OK' if drift_ok else 'FAIL'}")
+            result["image_check_drift"] = {
+                "mean": round(float(d.mean()), 3),
+                "frac_gt16": round(frac_gt16, 4),
+                "max": int(d.max()),
+            }
+        if cross_ok is None and drift_ok is None:
+            log("image_ok: SKIPPED (no reference or no image)")
+            result["image_ok"] = None
+        else:
+            image_ok = bool(
+                (cross_ok is not False) and (drift_ok is not False)
+            )
+            log(f"image_ok: {image_ok} (blend={cross_ok} drift={drift_ok} "
+                f"frame ok={ok_f})")
             result["image_ok"] = image_ok
-            if not image_ok:
-                result["image_check"] = {
-                    "frac_gt1": frac_gt1,
-                    "max": int(d.max()),
-                }
+            if not image_ok and img_u8 is not None:
                 try:
                     from vk3dgaussiansplatting_tpu.io.image import write_png
 
                     _os.makedirs("artifacts", exist_ok=True)
                     write_png(f"artifacts/imgcheck_{scene}_tpu.png", img_u8)
-                    write_png(f"artifacts/imgcheck_{scene}_ref.png", ref_u8)
-                    log(f"image-check: dumped artifacts/imgcheck_{scene}_*.png")
+                    if ref_path and _os.path.exists(ref_path):
+                        write_png(
+                            f"artifacts/imgcheck_{scene}_ref.png",
+                            np.load(ref_path),
+                        )
+                    log(f"image-check: dumped artifacts/imgcheck_{scene}_*")
                 except Exception as exc:  # noqa: BLE001
                     log(f"image-check dump failed: {exc}")
-        else:
-            log("image_ok: SKIPPED (no reference frame or no image)")
-            result["image_ok"] = None
     return result
+
+
+def crossdata_main(args):
+    """CPU crossdata mode (--crossdata): blend TPU-fetched element/frame
+    arrays through the f64 reference tier and print a JSON diff verdict
+    vs the npz's own TPU image (blend/transport certification on
+    identical inputs)."""
+    from vk3dgaussiansplatting_tpu.ops import blend as blend_ops
+    from vk3dgaussiansplatting_tpu.ops.keygen import (
+        GaussianFrameData,
+        SortElements,
+    )
+
+    jax.config.update("jax_enable_x64", True)
+    z = np.load(args.crossdata)
+    config = build_config(args, args.scene, "xla")
+    el = SortElements(
+        tile=jnp.asarray(z["tile"]), depth=jnp.asarray(z["depth"]),
+        index=jnp.asarray(z["index"]), count=jnp.asarray(z["count"]),
+    )
+    fr = GaussianFrameData(
+        color_alpha=jnp.asarray(z["color_alpha"]),
+        cov2d=jnp.zeros_like(jnp.asarray(z["cov_inv"])),
+        cov_inv=jnp.asarray(z["cov_inv"]),
+        screen_pos=jnp.asarray(z["screen_pos"]),
+    )
+    img = _blend_strips_chunked(el, jnp.asarray(z["ranges"]), fr, config)
+    u8 = np.asarray(
+        blend_ops.quantize_image(jnp.asarray(img).astype(jnp.float32))
+    )
+    d = np.abs(
+        u8[..., :3].astype(np.int32) - z["img_u8"][..., :3].astype(np.int32)
+    )
+    print(json.dumps({
+        "mean": round(float(d.mean()), 4),
+        "max": int(d.max()),
+        "frac_gt1": round(float((d > 1).any(-1).mean()), 6),
+    }), flush=True)
 
 
 def _blend_strips_chunked(elements, ranges, frame_data, config):

@@ -194,6 +194,9 @@ class ChainedTemporalPlan:
         self.last_ok = None
         self.last_stats = None
         self.last_count = None
+        self.last_elements = None
+        self.last_ranges = None
+        self.last_frame = None
         # Steady-overflow accumulator: OR of every steady frame's overflow
         # flag since the last `take_overflow_acc()` — a device scalar, so
         # an intermittent overflow can never fall between periodic samples
@@ -258,6 +261,11 @@ class ChainedTemporalPlan:
         img, self.state, ok, st = capped_ops.blend_tiles_capped_split(
             el, r, fr, self.config, self.state
         )
+        # Device-array REFERENCES to this frame's intermediates (no fetch,
+        # ~300 MB HBM pinned at garden steady shapes) — the bench image
+        # check blends them through the CPU reference tier to certify the
+        # blend/transport path bit-tightly on identical inputs.
+        self.last_elements, self.last_ranges, self.last_frame = el, r, fr
         marks.append(_time.time())
         if first:
             self._log(f"  [compile] blend done t+{_time.time()-t0:.0f}s")
