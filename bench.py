@@ -266,7 +266,20 @@ def main():
         and args.scene_gen == "cloud"
     ):
         scenes.append("train7k_720p")
-    results = [run_scene(args, s) for s in scenes]
+    results = []
+    for s in scenes:
+        try:
+            results.append(run_scene(args, s))
+        except BaseException:
+            # Don't orphan a spawned CPU reference renderer when the
+            # bench dies mid-scene (remote-compile deaths are a known
+            # event class); _REF_PROCS is appended by run_scene.
+            for p in _REF_PROCS:
+                try:
+                    p.kill()
+                except Exception:
+                    pass
+            raise
     result = dict(results[0])
     if len(results) > 1:
         result["scenes"] = {
@@ -422,6 +435,9 @@ def build_scene(args, scene, config, capacity):
     return host_table, cam, mult, live
 
 
+_REF_PROCS = []  # live CPU-reference subprocesses (killed on bench death)
+
+
 def run_scene(args, scene):
     from vk3dgaussiansplatting_tpu.models.gaussians import GaussianTable
 
@@ -475,6 +491,7 @@ def run_scene(args, scene):
             ref_proc = subprocess.Popen(
                 cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
             )
+            _REF_PROCS.append(ref_proc)
 
     table = jax.device_put(
         GaussianTable(
@@ -578,6 +595,7 @@ def run_scene(args, scene):
         plan = ChainedTemporalPlan(
             config, capacity, steady_frac=steady_frac, log=log
         )
+        plan.keep_intermediates = True  # for the end-of-run image check
         plan_cell[0] = plan
         caps_cell[0] = plan.state  # share telemetry with the warmup logs
 
@@ -877,9 +895,13 @@ def run_scene(args, scene):
                 log(f"image-check: crossdata subprocess failed: {exc}")
                 verdict = None
             if verdict is not None:
-                cross_ok = bool(
-                    verdict["mean"] <= 0.75 and verdict["max"] <= 8
-                )
+                try:
+                    cross_ok = bool(
+                        verdict["mean"] <= 0.75 and verdict["max"] <= 8
+                    )
+                except (KeyError, TypeError) as exc:
+                    log(f"image-check: malformed crossdata verdict: {exc}")
+                    verdict, cross_ok = None, None
                 log(f"image-check crossdata (blend certification, "
                     f"+{time.time()-t0:.0f}s): {verdict} -> "
                     f"{'OK' if cross_ok else 'FAIL'}")
@@ -893,8 +915,17 @@ def run_scene(args, scene):
         # 13-57-mean class.  docs/TOLERANCES.md transcendental-parity
         # caveat; verified blend-independent by r5_crossdata_check.
         drift_ok = None
+        ref_u8 = None
         if img_u8 is not None and ref_path and _os.path.exists(ref_path):
-            ref_u8 = np.load(ref_path)
+            try:
+                ref_u8 = np.load(ref_path)
+            except Exception as exc:  # noqa: BLE001 — truncated cache file
+                log(f"image-check: unreadable reference {ref_path}: {exc}")
+                try:
+                    _os.remove(ref_path)
+                except OSError:
+                    pass
+        if ref_u8 is not None:
             d = np.abs(
                 img_u8[..., :3].astype(np.int32)
                 - ref_u8[..., :3].astype(np.int32)
@@ -1163,10 +1194,11 @@ def ref_frame_main(args):
     d = _os.path.dirname(args.ref_frame_out)
     if d:
         _os.makedirs(d, exist_ok=True)
-    np.save(args.ref_frame_out, u8)
-    # np.save appends .npy if missing; normalize so the parent finds it
-    if not _os.path.exists(args.ref_frame_out):
-        _os.rename(args.ref_frame_out + ".npy", args.ref_frame_out)
+    # ATOMIC write: a killed/timed-out subprocess must not leave a
+    # truncated cache file that poisons every later run (r5 review).
+    tmp = args.ref_frame_out + ".tmp.npy"
+    np.save(tmp, u8)
+    _os.replace(tmp, args.ref_frame_out)
     log(f"ref-frame: saved {args.ref_frame_out}")
 
 

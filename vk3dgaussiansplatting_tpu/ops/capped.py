@@ -478,9 +478,10 @@ def blend_tiles_capped_temporal(
     transmittance_stop * cap_validation_factor, and invalid frames take
     the in-graph full fallback.  A prefiltered (thr != SENTINEL) tile that
     fails validation cannot be repaired from the filtered element list; it
-    is patched best-effort, `ok` reports 0, and its threshold resets to
-    SENTINEL so the next frame is exact again (<= 1 flagged frame per
-    event; see ops/prefilter.py).
+    is patched best-effort, `ok` reports 0, and its threshold resets —
+    snap-to-SENTINEL (1 flagged frame per event) with thr_reset_damp off,
+    or a doubling ramp of up to ~6 flagged frames with the default damped
+    reset (see ops/prefilter.py and core/config.py).
     """
     base = config.blend_depth_cap
     assert base > 0

@@ -227,16 +227,11 @@ def rows_from_table6(rows6):
 def rows_from_tables2(rows_a, rows_b):
     """Reassemble the kernel's [E, 10] feature rows from the two narrow
     gathers (inverse of pack_feature_tables2's packing)."""
-    packed = jax.lax.bitcast_convert_type(rows_b[:, 2:4], jnp.uint32)
-    lo = jax.lax.bitcast_convert_type(
-        (packed & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
-    ).astype(jnp.float32)
-    hi = jax.lax.bitcast_convert_type(
-        (packed >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
-    ).astype(jnp.float32)
-    r = lo[:, 0:1]
-    g = hi[:, 0:1]
-    b = lo[:, 1:2]
+    r0, g0 = _unpack16(rows_b[:, 2])
+    b0, _ = _unpack16(rows_b[:, 3])
+    r = r0[:, None]
+    g = g0[:, None]
+    b = b0[:, None]
     zeros = jnp.zeros_like(r)
     return jnp.concatenate(
         [

@@ -45,8 +45,10 @@ class FrameOutputs(NamedTuple):
     policy): True when every tile validated (or was patched) this frame —
     i.e. the frame is exact within the quantized-image contract.  A False
     frame was degraded (steady-capacity overflow truncation or an
-    unpatchable prefiltered tile) and recovers within ~1 frame once the
-    temporal state reacts.  Callers that care should fetch it
+    unpatchable prefiltered tile); recovery takes ~1 frame with the snap
+    threshold reset, or up to ~6 flagged frames under the default damped
+    reset ramp (config.thr_reset_damp — the trade that keeps tight steady
+    capacities stable).  Callers that care should fetch it
     asynchronously (fetching per frame serializes the dispatch queue —
     CLAUDE.md).
     """
@@ -197,6 +199,10 @@ class ChainedTemporalPlan:
         self.last_elements = None
         self.last_ranges = None
         self.last_frame = None
+        # Opt-in (bench image check): retain per-frame element/frame-data
+        # device references.  Off by default — pinning them costs ~350 MB
+        # HBM at garden shapes that product callers never use (r5 review).
+        self.keep_intermediates = False
         # Steady-overflow accumulator: OR of every steady frame's overflow
         # flag since the last `take_overflow_acc()` — a device scalar, so
         # an intermittent overflow can never fall between periodic samples
@@ -261,11 +267,12 @@ class ChainedTemporalPlan:
         img, self.state, ok, st = capped_ops.blend_tiles_capped_split(
             el, r, fr, self.config, self.state
         )
-        # Device-array REFERENCES to this frame's intermediates (no fetch,
-        # ~300 MB HBM pinned at garden steady shapes) — the bench image
-        # check blends them through the CPU reference tier to certify the
-        # blend/transport path bit-tightly on identical inputs.
-        self.last_elements, self.last_ranges, self.last_frame = el, r, fr
+        if self.keep_intermediates:
+            # Device-array REFERENCES to this frame's intermediates (no
+            # fetch) — the bench image check blends them through the CPU
+            # reference tier to certify the blend/transport path on
+            # identical inputs.  Opt-in: pinning costs ~350 MB HBM.
+            self.last_elements, self.last_ranges, self.last_frame = el, r, fr
         marks.append(_time.time())
         if first:
             self._log(f"  [compile] blend done t+{_time.time()-t0:.0f}s")
