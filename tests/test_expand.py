@@ -121,13 +121,20 @@ def test_keygen_pallas_expansion_matches_repeat(scene_cls):
     el_rep, _ = keygen.generate_sort_elements(
         *args, dataclasses.replace(base, expansion_method="repeat"), capacity
     )
-    el_pl, _ = keygen.generate_sort_elements(
-        *args, dataclasses.replace(base, expansion_method="pallas"), capacity
-    )
-    np.testing.assert_array_equal(np.asarray(el_rep.tile), np.asarray(el_pl.tile))
-    np.testing.assert_array_equal(np.asarray(el_rep.depth), np.asarray(el_pl.depth))
-    np.testing.assert_array_equal(np.asarray(el_rep.index), np.asarray(el_pl.index))
-    assert int(el_rep.count) == int(el_pl.count)
+    for method in ("pallas", "stream"):
+        el_pl, _ = keygen.generate_sort_elements(
+            *args, dataclasses.replace(base, expansion_method=method), capacity
+        )
+        np.testing.assert_array_equal(
+            np.asarray(el_rep.tile), np.asarray(el_pl.tile)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(el_rep.depth), np.asarray(el_pl.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(el_rep.index), np.asarray(el_pl.index)
+        )
+        assert int(el_rep.count) == int(el_pl.count)
 
 
 def test_prefilter_thinned_counts_span_regimes():
@@ -179,3 +186,79 @@ def test_tail_window_span_crossing_pad_boundary():
         )
         got = np.stack([np.asarray(c) for c in cols], axis=-1)
         np.testing.assert_array_equal(got[:live], want[:live])
+
+
+def _run_streamed(counts_np, capacity, seed=0, n_cols=3):
+    rng = np.random.default_rng(seed)
+    n = counts_np.shape[0]
+    cols_np = [np.arange(n, dtype=np.int32)]
+    for _ in range(n_cols - 1):
+        cols_np.append(rng.integers(-(2**31), 2**31, size=n).astype(np.int32))
+    want, live = _reference_expand(cols_np, counts_np, capacity)
+    cols, total = expand_kernel.expand_rows_streamed(
+        [jnp.asarray(c) for c in cols_np], jnp.asarray(counts_np), capacity
+    )
+    assert int(total) == int(counts_np.sum())
+    got = np.stack([np.asarray(c) for c in cols], axis=-1)
+    np.testing.assert_array_equal(got[:live], want[:live])
+
+
+def test_streamed_dense_regime():
+    # counts mean ~2.4 (the unfiltered garden regime): K windows span far
+    # less than the step buffer.
+    rng = np.random.default_rng(21)
+    counts = rng.poisson(2.4, size=30_000).astype(np.int32)
+    counts[rng.random(30_000) < 0.3] = 0
+    _run_streamed(counts, capacity=int(counts.sum()) + 700)
+
+
+def test_streamed_thinned_regime():
+    # mean ~1 live element/source row (prefilter steady): window spans
+    # routinely exceed one chunk; some step tails escape the buffer.
+    rng = np.random.default_rng(22)
+    counts = rng.integers(1, 4, size=40_000).astype(np.int32)
+    counts[rng.random(40_000) < 0.55] = 0
+    _run_streamed(counts, capacity=int(counts.sum()) + 512)
+
+
+def test_streamed_long_culled_run_refill():
+    # A >STREAM_C-chunk fully-culled gap: covering rows escape the step
+    # buffer entirely -> serial refill from the window's own chunk.
+    counts = np.ones(20_000, np.int32)
+    counts[100:15_000] = 0
+    _run_streamed(counts, capacity=5120)
+
+
+def test_streamed_huge_single_gaussians():
+    # A few gaussians with thousands of elements: many consecutive windows
+    # share one covering row; spans collapse.
+    rng = np.random.default_rng(23)
+    counts = rng.integers(0, 2, size=8000).astype(np.int32)
+    counts[rng.integers(0, 8000, 30)] = rng.integers(
+        1500, 6000, 30
+    ).astype(np.int32)
+    _run_streamed(counts, capacity=20_480)
+
+
+def test_streamed_overflow_and_unaligned_capacity():
+    counts = np.full(3000, 7, np.int32)
+    _run_streamed(counts, capacity=9000)  # truncating, non-multiple of K*W
+
+
+def test_streamed_small_table_and_all_culled():
+    _run_streamed(np.zeros(600, np.int32), capacity=512)
+    counts = np.array([5, 0, 3, 0, 0, 2] * 10, np.int32)
+    _run_streamed(counts, capacity=1000)
+
+
+def test_streamed_tail_window_crossing_pad_boundary():
+    rng = np.random.default_rng(24)
+    counts = rng.integers(0, 3, size=9000).astype(np.int32)
+    counts[rng.random(9000) < 0.5] = 0
+    _run_streamed(counts, capacity=8192)
+
+
+def test_streamed_u32_depth_bits_survive():
+    rng = np.random.default_rng(25)
+    counts = rng.integers(0, 4, size=4000).astype(np.int32)
+    _run_streamed(counts, capacity=int(counts.sum()) + 128, n_cols=6)

@@ -113,8 +113,19 @@ class RenderConfig:
     #               and retired in r4: the kernel is per-window-overhead
     #               bound, not crossbar bound, so window sizing supersedes
     #               pairing — docs/PERFORMANCE.md.)
+    #               Under a prefilter (thinned counts) "pallas" dispatches
+    #               to the streamed-window kernel below automatically.
+    #   "stream"  — streamed-window Pallas kernel: STREAM_K windows per
+    #               grid step backed by ONE contiguous chunk-buffer DMA
+    #               (double-buffered across steps); per-window compute
+    #               identical to "pallas", the per-window DMAs and grid
+    #               overhead amortized away.  Wins in the thinned
+    #               (prefilter steady) regime (r5: 20.9 vs 25.5 ms); the
+    #               dense regime keeps the per-window kernel (its fixed
+    #               chunk buffer over-fetches when spans fit one chunk).
     #   "repeat"  — jnp.repeat (XLA scatter + one ~6.5 ns/row gather).
-    #   "auto"    — pallas on TPU, repeat elsewhere.
+    #   "auto"    — pallas on TPU (stream under a prefilter), repeat
+    #               elsewhere.
     expansion_method: str = "auto"
     # Pallas blend batch width (elements per cooperative batch; the
     # reference's ENTIRE_GROUP_SIZE=256 widened to fill VPU lanes).  Must be

@@ -214,19 +214,28 @@ def generate_sort_elements(
     method = config.expansion_method
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "repeat"
-    if method == "pallas":
-        # Pallas monotone-expansion kernel (ops/pallas/expand_kernel.py):
+    if method in ("pallas", "stream"):
+        # Pallas monotone-expansion kernels (ops/pallas/expand_kernel.py):
         # windowed compare-count + vreg crossbar gathers; avoids both the
         # XLA scatter inside jnp.repeat (~100 ms at 8M) and its ~6.5 ns/row
         # gather.  Bit-identical to the repeat path (tests/test_expand.py).
         from .pallas import expand_kernel
 
-        # Prefilter-thinned counts (mean ~1 element/source row) push window
-        # spans past one chunk; the wide-span variant pipelines two chunks
-        # unconditionally (expand_kernel.py r4 rationale).
-        cols, _ = expand_kernel.expand_rows(
-            packed_cols, counts, capacity, wide_span=depth_thr is not None
-        )
+        if method == "stream" or (method == "pallas" and depth_thr is not None):
+            # Prefilter-thinned counts (mean ~1 live element/source row)
+            # stretch window spans past one 512-row chunk; the streamed
+            # kernel amortizes the per-window DMAs + grid overhead across
+            # STREAM_K-window steps there (r5 device A/B: 20.9 vs 25.5 ms
+            # for the wide-span kernel at steady capacity).  Dense
+            # unfiltered counts keep the per-window kernel — spans fit one
+            # chunk and the streamed buffer over-fetches (34.6 vs 29.1 ms).
+            cols, _ = expand_kernel.expand_rows_streamed(
+                packed_cols, counts, capacity
+            )
+        else:
+            cols, _ = expand_kernel.expand_rows(
+                packed_cols, counts, capacity, wide_span=False
+            )
     else:
         # XLA tier: gathers cost ~6.5 ns/row *independent of row width*
         # (measured), so the expansion performs exactly ONE row gather: all

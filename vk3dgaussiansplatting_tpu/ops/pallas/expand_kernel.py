@@ -286,6 +286,232 @@ def _expand_kernel(
         out_ref[:, :] = acc
 
 
+# --- streamed-window variant (round 5) -----------------------------------
+#
+# The per-window kernel above issues 1-2 chunk DMAs per 512-slot window and
+# pays the grid-step machinery per window (~0.7-1.2 us/window measured on
+# the r5 stack).  The streamed kernel amortizes both: one grid step handles
+# STREAM_K consecutive windows backed by ONE contiguous chunk-buffer DMA of
+# STREAM_C 512-row chunks (double-buffered across grid steps).  The source
+# table is laid out chunk-major ([n_chunks, 8, 512]) XLA-side so the whole
+# buffer is a single dynamic leading-index copy; each window then processes
+# its two covering chunks via dynamic chunk indices into the buffer — the
+# compare-count is self-consistent from any chunk start (rows before the
+# window's first covering row satisfy cum <= j and are part of the count),
+# so per-window work is IDENTICAL to the wide-span kernel's two
+# process_chunk calls, with the per-window DMAs and grid overhead gone.
+# Windows whose span escapes the buffer fall back to the serial refill loop
+# (per-window chunk DMAs from the absolute row), as before.
+
+STREAM_K = 8  # windows per grid step
+STREAM_C = 12  # 512-row chunks per grid-step buffer (>= spans of K windows)
+
+
+def _stream_kernel(
+    s_ref,  # [B] i32: 512-aligned first chunk row of each grid step
+    c1_ref,  # [BK] i32: window's first covering chunk (buffer index, clamped)
+    n1_ref,  # [BK] i32: blocks to count in chunk 1 (0 => escaped buffer)
+    n2_ref,  # [BK] i32: blocks to count in chunk 2
+    rb_ref,  # [BK] i32: absolute first refill row for the serial path
+    total_ref,  # [1] i32: live element count
+    vals_hbm,  # [n_chunks, NUM_ROWS, WINDOW] i32 chunk-major source table
+    out_ref,  # [NUM_ROWS, STREAM_K * WINDOW] block at (0, b)
+    buf,  # [2, STREAM_C, NUM_ROWS, WINDOW] VMEM chunk buffer
+    rbuf,  # [1, NUM_ROWS, WINDOW] VMEM refill scratch
+    sems,  # [2] buffer DMA semaphores
+    rsem,  # [1] refill DMA semaphore
+    *,
+    n_chunks: int,
+):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = lax.rem(b, 2)
+    total = total_ref[0]
+    kw = jnp.int32(STREAM_K * WINDOW)
+    max_chunk = n_chunks - STREAM_C
+    max_start = n_chunks * WINDOW - WINDOW
+
+    def dma_step(buf_slot, step):
+        c0 = jnp.minimum(s_ref[step] // jnp.int32(WINDOW), max_chunk)
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(c0, STREAM_C)],
+            buf.at[buf_slot],
+            sems.at[buf_slot],
+        )
+
+    def dma_refill(row0):
+        # Refill bases are whole-chunk aligned by construction (S + k*W, or
+        # the escaped window's row aligned down to its chunk XLA-side; the
+        # compare-count absorbs extra leading rows, which satisfy cum <= j).
+        c = jnp.minimum(row0, max_start) // jnp.int32(WINDOW)
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(c, 1)], rbuf.at[pl.ds(0, 1)], rsem
+        )
+
+    live_step = b * kw < total
+
+    @pl.when((b == 0) & live_step)
+    def _():
+        dma_step(0, 0).start()
+
+    @pl.when((b + 1 < nb) & ((b + 1) * kw < total))
+    def _():
+        dma_step(1 - slot, b + 1).start()
+
+    @pl.when(jnp.logical_not(live_step))
+    def _():
+        out_ref[:, :] = jnp.zeros((NUM_ROWS, STREAM_K * WINDOW), jnp.int32)
+
+    @pl.when(live_step)
+    def _():
+        dma_step(slot, b).wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+
+        for w in range(STREAM_K):
+            i = b * jnp.int32(STREAM_K) + jnp.int32(w)
+            j = (b * kw + jnp.int32(w * WINDOW)) + lane
+            j_eff = jnp.maximum(jnp.minimum(j, total - 1), 0)
+
+            def process_chunk(vbuf, searching, acc, nsrc, j_eff=j_eff):
+                cnt = _count_blocked(vbuf, j_eff, nsrc)
+                covered = nsrc * jnp.int32(GROUP)
+                found_here = (searching > 0) & (cnt < covered)
+                gathered = _gather_groups(vbuf, cnt, found_here, nsrc)
+                acc = acc + gathered
+                searching = jnp.where(cnt >= covered, searching, 0)
+                return searching, acc
+
+            c1 = c1_ref[i]
+            searching, acc = process_chunk(
+                buf[slot, c1],
+                jnp.ones((1, WINDOW), jnp.int32),
+                jnp.zeros((NUM_ROWS, WINDOW), jnp.int32),
+                n1_ref[i],
+            )
+            c2 = jnp.minimum(c1 + 1, jnp.int32(STREAM_C - 1))
+            searching, acc = process_chunk(
+                buf[slot, c2], searching, acc, n2_ref[i]
+            )
+
+            # Serial refill for spans that escape the buffer (rare).  The
+            # refill base is whole-chunk granular; leading rows before the
+            # window's span are absorbed by the compare-count.
+            def cond(carry, i=i):
+                t, searching, _ = carry
+                prev = jnp.minimum(
+                    rb_ref[i] + (t - 1) * jnp.int32(WINDOW),
+                    jnp.int32(max_start),
+                )
+                return (jnp.max(searching) > 0) & (prev < jnp.int32(max_start))
+
+            def body(carry, i=i, process_chunk=process_chunk):
+                t, searching, acc = carry
+                d = dma_refill(rb_ref[i] + t * jnp.int32(WINDOW))
+                d.start()
+                d.wait()
+                searching, acc = process_chunk(
+                    rbuf[0], searching, acc, jnp.int32(NBLOCKS)
+                )
+                return t + 1, searching, acc
+
+            _, _, acc = lax.while_loop(cond, body, (jnp.int32(0), searching, acc))
+            out_ref[:, w * WINDOW : (w + 1) * WINDOW] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def expand_rows_streamed(packed_cols, counts, capacity: int):
+    """Monotone fixed-capacity expansion, streamed-window kernel.
+
+    Semantics identical to :func:`expand_rows` (and to ``jnp.repeat`` with
+    ``total_repeat_length=capacity``); see the streamed-variant note above
+    for the performance rationale.  Covers both the thinned (prefilter
+    steady) and dense count regimes without a wide_span switch: the
+    grid-step buffer holds STREAM_C chunks regardless of density.
+    """
+    n = counts.shape[0]
+    cum = jnp.cumsum(counts, dtype=jnp.int32)
+    total = cum[-1] if n > 0 else jnp.int32(0)
+
+    n_pad = max(-(-n // WINDOW) * WINDOW, STREAM_C * WINDOW)
+    n_chunks = n_pad // WINDOW
+    num_windows = -(-capacity // WINDOW)
+    num_steps = -(-num_windows // STREAM_K)
+    nw_pad = num_steps * STREAM_K
+
+    rows = [r.astype(jnp.int32) for r in packed_cols]
+    assert len(rows) <= MAX_COLS
+    while len(rows) < MAX_COLS:
+        rows.append(jnp.zeros((n,), jnp.int32))
+    pad = n_pad - n
+    rows = [jnp.pad(r, (0, pad)) for r in rows]
+    cum_pad = jnp.pad(cum, (0, pad), constant_values=_HUGE)
+    vals = jnp.stack(rows + [cum_pad], axis=0)  # [NUM_ROWS, N_pad]
+    # Chunk-major layout so a grid step's buffer is ONE dynamic
+    # leading-index DMA ([STREAM_C, 8, 512]); costs one extra pass over the
+    # table (~0.5 ms at garden scale), repaid by the removed per-window DMAs.
+    vals3 = jnp.swapaxes(vals.reshape(NUM_ROWS, n_chunks, WINDOW), 0, 1)
+
+    j0 = jnp.arange(nw_pad + 1, dtype=jnp.int32) * WINDOW
+    j0_eff = jnp.maximum(jnp.minimum(j0, total - 1), 0)
+    sw_raw = two_level_left_search(cum_pad, j0_eff + 1).astype(jnp.int32)
+    sw_al = (sw_raw[:-1] // ALIGN) * ALIGN  # [nw_pad], 128-aligned
+    sw_al = jnp.minimum(sw_al, n_pad - WINDOW)
+
+    # Grid-step buffer start: the step's FIRST window's chunk, clamped so
+    # the buffer stays in-table.  512-aligned by construction.
+    s_step = (sw_al[0::STREAM_K] // WINDOW) * WINDOW
+    s_step = jnp.minimum(s_step, (n_chunks - STREAM_C) * WINDOW)
+
+    off = sw_al - jnp.repeat(s_step, STREAM_K)  # [nw_pad] rows, mult of 128
+    c1 = off // WINDOW
+    r = off - c1 * WINDOW
+    span_ub = sw_raw[1:] - sw_al + 1
+    nsrc_tot = -(-(r + span_ub) // GROUP)
+    in_buf = c1 <= STREAM_C - 1
+    has2 = c1 + 1 <= STREAM_C - 1
+    n1 = jnp.where(in_buf, jnp.clip(nsrc_tot, 1, NBLOCKS), 0).astype(jnp.int32)
+    n2 = jnp.where(has2, jnp.clip(nsrc_tot - NBLOCKS, 0, NBLOCKS), 0).astype(
+        jnp.int32
+    )
+    c1c = jnp.minimum(c1, STREAM_C - 1).astype(jnp.int32)
+    # Serial-refill base: first chunk row NOT covered by the buffered pair;
+    # escaped-buffer windows restart from their own (chunk-aligned) row.
+    rb = jnp.where(
+        in_buf,
+        jnp.repeat(s_step, STREAM_K)
+        + (c1 + 1 + has2.astype(jnp.int32)) * WINDOW,
+        (sw_al // WINDOW) * WINDOW,
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(num_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (NUM_ROWS, STREAM_K * WINDOW),
+            lambda b, *_: (0, b),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, STREAM_C, NUM_ROWS, WINDOW), jnp.int32),
+            pltpu.VMEM((1, NUM_ROWS, WINDOW), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, n_chunks=n_chunks),
+        out_shape=jax.ShapeDtypeStruct(
+            (NUM_ROWS, nw_pad * WINDOW), jnp.int32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(s_step, c1c, n1, n2, rb, total.reshape(1), vals3)
+
+    cols = [out[i, :capacity] for i in range(len(packed_cols))]
+    return cols, total
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "wide_span"))
 def expand_rows(packed_cols, counts, capacity: int, wide_span: bool = False):
     """Monotone fixed-capacity expansion, kernel-backed.
