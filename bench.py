@@ -181,7 +181,7 @@ def main():
                          "a tighter value shrinks every per-slot pass — "
                          "results stay exact as long as nothing overflows, "
                          "which the live-element log confirms)")
-    ap.add_argument("--steady-frac", type=float, default=0.54,
+    ap.add_argument("--steady-frac", type=float, default=0.51,
                     help="temporal depth-prefilter steady-state capacity, "
                          "as a fraction of the full sort capacity: after "
                          "the caps/thresholds warmup, keygen drops "

@@ -527,3 +527,35 @@ def test_renderer_surfaces_ok_and_reverts_on_overflow(monkeypatch):
     assert flagged  # degraded frames were signaled through FrameOutputs.ok
     assert reverted  # the stale-window check flipped the plan back to full
     assert not plan.steady_declined  # re-probe allowed later
+
+
+def test_filtered_keygen_stream_dispatch_matches_repeat():
+    """The production dispatch site: under a prefilter the "pallas" method
+    routes to the STREAMED expansion kernel (keygen.py r5).  Filtered
+    keygen through that path must be bit-identical to the repeat
+    expansion with the same thresholds."""
+    config = dataclasses.replace(CONFIG, width=256, height=256)
+    table = _cloud_table(400)
+    cam = _camera()
+    tbl, view, proj, pos = _frame_inputs(table, cam)
+    capacity = config.sort_capacity(400)
+
+    rng = np.random.default_rng(9)
+    thr = rng.integers(0, 200_000_000, config.num_tiles).astype(np.uint32)
+    thr[rng.random(config.num_tiles) < 0.1] = SENTINEL
+    thr_j = jnp.asarray(thr)
+
+    el_rep, _ = keygen.generate_sort_elements(
+        tbl, view, proj, pos,
+        dataclasses.replace(config, expansion_method="repeat"),
+        capacity, depth_thr=thr_j,
+    )
+    el_str, _ = keygen.generate_sort_elements(
+        tbl, view, proj, pos,
+        dataclasses.replace(config, expansion_method="pallas"),
+        capacity, depth_thr=thr_j,
+    )
+    np.testing.assert_array_equal(np.asarray(el_rep.tile), np.asarray(el_str.tile))
+    np.testing.assert_array_equal(np.asarray(el_rep.depth), np.asarray(el_str.depth))
+    np.testing.assert_array_equal(np.asarray(el_rep.index), np.asarray(el_str.index))
+    assert int(el_rep.count) == int(el_str.count)

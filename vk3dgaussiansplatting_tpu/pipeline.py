@@ -166,7 +166,7 @@ class ChainedTemporalPlan:
         config: RenderConfig,
         capacity: int,
         *,
-        steady_frac: float = 0.54,
+        steady_frac: float = 0.51,
         log=None,
     ):
         from .ops import capped as capped_ops
@@ -389,7 +389,7 @@ class Renderer:
         config: RenderConfig,
         *,
         use_pallas_blend: bool | None = None,
-        steady_frac: float = 0.54,
+        steady_frac: float = 0.51,
     ):
         self.config = config
         if use_pallas_blend is None:
