@@ -846,6 +846,10 @@ def run_scene(args, scene):
         # this is what caught-the-blue-channel-class bugs trip.
         cross_ok = None
         el_d = rg_d = fr_d = None
+        if plan_cell[0] is not None:
+            # Fused steady path keeps only the kg outputs during timing;
+            # rebuild the sorted elements + ranges bit-identically here.
+            plan_cell[0].materialize_intermediates()
         if plan_cell[0] is not None and plan_cell[0].last_elements is not None:
             el_d = plan_cell[0].last_elements
             rg_d = plan_cell[0].last_ranges

@@ -209,6 +209,18 @@ class ChainedTemporalPlan:
         # (r4 advisor).  `Renderer.draw` reads it with a one-window-stale
         # async fetch (zero blocking syncs in the frame loop).
         self._ovf_acc = None
+        # Fuse everything after keygen (sort + ranges + the 3 capped split
+        # phases) into ONE program on the steady path: measured 187.4 vs
+        # 191.6 ms/frame at garden frac-0.51 shapes (scripts/r5_chain_fuse.py
+        # grouping C; grouping D — keygen fused in too — is slower at 189.0,
+        # and the r4 "in-graph gather 2x penalty" that forced the per-pass
+        # split no longer reproduces on the r5 server stack).  The FULL-
+        # capacity warmup path stays per-pass: it is untimed, and the
+        # 14.19M-element fused program is the compile-risk class CLAUDE.md
+        # documents.
+        self.fuse_steady = True
+        self._fused = {}
+        self._last_kg = None
 
     def _passes(self, cap_e: int, filtered: bool):
         key = (cap_e, filtered)
@@ -233,6 +245,42 @@ class ChainedTemporalPlan:
             self._sets[key] = (kg, so, rg)
         return self._sets[key]
 
+    def _fused_rest(self):
+        """One jitted program for everything after keygen (steady path):
+        sort -> find_ranges -> capped layout/gather/finish."""
+        if "rest" not in self._fused:
+            from .ops import capped as capped_ops
+
+            config = self.config
+
+            def rest(el, fr, st):
+                se = sort_ops.sort_elements(el, config)
+                rg = ranges_ops.find_ranges(se, config.num_tiles)
+                img, st2, ok, stats = capped_ops.blend_tiles_capped_split(
+                    se, rg, fr, config, st
+                )
+                return img, st2, ok, stats
+
+            self._fused["rest"] = jax.jit(rest)
+        return self._fused["rest"]
+
+    def materialize_intermediates(self):
+        """Recompute the last kept frame's sorted elements + ranges into
+        `last_elements`/`last_ranges` (bench image check, fused steady
+        path).  Sort and find_ranges are deterministic integer passes, so
+        the recompute is bit-identical to what the fused program consumed
+        in-graph.  One extra sort dispatch, OUTSIDE the timed loop."""
+        if self._last_kg is None or self.last_elements is not None:
+            return
+        el, fr = self._last_kg
+        filtered = self.mode == "steady"
+        cap_e = self.steady_capacity if filtered else self.capacity
+        _kg, so, rg = self._passes(cap_e, filtered)
+        se = so(el)
+        self.last_elements = se
+        self.last_ranges = rg(se)
+        self.last_frame = fr
+
     def frame(self, table, view, proj, cam_pos):
         """Dispatch one frame; returns the [H, W, 3] float32 device image.
 
@@ -256,23 +304,36 @@ class ChainedTemporalPlan:
         marks.append(_time.time())
         if first:
             self._log(f"  [compile] keygen done t+{_time.time()-t0:.0f}s")
-        el = so(el)
-        marks.append(_time.time())
-        if first:
-            self._log(f"  [compile] sort done t+{_time.time()-t0:.0f}s")
-        r = rg(el)
-        marks.append(_time.time())
-        if first:
-            self._log(f"  [compile] ranges done t+{_time.time()-t0:.0f}s")
-        img, self.state, ok, st = capped_ops.blend_tiles_capped_split(
-            el, r, fr, self.config, self.state
-        )
-        if self.keep_intermediates:
-            # Device-array REFERENCES to this frame's intermediates (no
-            # fetch) — the bench image check blends them through the CPU
-            # reference tier to certify the blend/transport path on
-            # identical inputs.  Opt-in: pinning costs ~350 MB HBM.
-            self.last_elements, self.last_ranges, self.last_frame = el, r, fr
+        if filtered and self.fuse_steady:
+            # Steady path: one fused program for everything after keygen
+            # (see __init__ fuse_steady note; -4 ms/frame measured).
+            img, self.state, ok, st = self._fused_rest()(el, fr, self.state)
+            if self.keep_intermediates:
+                # Keep the kg outputs (device refs, no fetch, no extra
+                # program outputs in the timed frames); the bench image
+                # check calls materialize_intermediates() to rebuild the
+                # sorted elements + ranges bit-identically outside timing.
+                self._last_kg = (el, fr)
+                self.last_elements = None
+        else:
+            el = so(el)
+            marks.append(_time.time())
+            if first:
+                self._log(f"  [compile] sort done t+{_time.time()-t0:.0f}s")
+            r = rg(el)
+            marks.append(_time.time())
+            if first:
+                self._log(
+                    f"  [compile] ranges done t+{_time.time()-t0:.0f}s"
+                )
+            img, self.state, ok, st = capped_ops.blend_tiles_capped_split(
+                el, r, fr, self.config, self.state
+            )
+            if self.keep_intermediates:
+                # (same image-check intermediates as the fused branch)
+                self.last_elements, self.last_ranges, self.last_frame = (
+                    el, r, fr,
+                )
         marks.append(_time.time())
         if first:
             self._log(f"  [compile] blend done t+{_time.time()-t0:.0f}s")
