@@ -375,35 +375,44 @@ def main():
         bench("steady capped split (all 3 phases)", split_digest,
               se_s, rg_s, fr_s, state, iters=4)
 
-        # Full steady frame as bench.py dispatches it (kg -> sort ->
-        # ranges -> split blend -> digest, per-pass programs chained by
-        # async dispatch): reveals inter-program bubbles the per-pass
-        # numbers cannot.
+        # Full steady frame as production dispatches it (keygen + ONE
+        # fused rest program, pipeline.ChainedTemporalPlan fuse_steady).
+        # This number exceeds the per-pass sum by the keygen frame-data
+        # work the el-only digest DCEs (+~6 ms) plus the finish phase's
+        # live policy update (+~3 ms) — see docs/PERFORMANCE.md
+        # "chain-fusion closure" + "keygen true-cost attribution".
         kg_j = jax.jit(
             lambda s, t, thr: keygen_ops.generate_sort_elements(
                 t, vj.at[2, 3].add(s), pj, cj, cfg_t, cap_s, depth_thr=thr
             )
         )
-        so_j = jax.jit(
-            lambda el: sort_ops.sort_elements_xla(el, num_tiles=cfg_t.num_tiles)
-        )
-        rg_j = jax.jit(lambda el: ranges_ops.find_ranges(el, cfg_t.num_tiles))
-        dig_j = jax.jit(
-            lambda img, c: jnp.sum(img[::97, ::97, 0])
-            + c.astype(jnp.float32) * jnp.float32(1e-9)
-        )
         st_cell = [state]
+
+        from vk3dgaussiansplatting_tpu.ops import capped as capped_ops2
+
+        # PRODUCTION grouping (pipeline.ChainedTemporalPlan fuse_steady):
+        # keygen + ONE fused rest program.  Per-pass dispatch measures
+        # ~4 ms slower (scripts/r5_chain_fuse.py A vs C); keep the digest
+        # + state live so nothing is DCE'd.
+        def fused_rest(el, fr2, st):
+            se = sort_ops.sort_elements_xla(el, num_tiles=cfg_t.num_tiles)
+            rg2 = ranges_ops.find_ranges(se, cfg_t.num_tiles)
+            img, st2, ok, stats = capped_ops2.blend_tiles_capped_split(
+                se, rg2, fr2, cfg_t, st
+            )
+            d = (
+                jnp.sum(img[::97, ::97, 0])
+                + el.count.astype(jnp.float32) * jnp.float32(1e-9)
+                + ok.astype(jnp.float32) * jnp.float32(1e-9)
+            )
+            return d, st2
+
+        fused_j = jax.jit(fused_rest)
 
         def chain_once(s):
             el, fr2 = kg_j(s, table, st_cell[0].thr)
-            el = so_j(el)
-            rg2 = rg_j(el)
-            from vk3dgaussiansplatting_tpu.ops import capped as capped_ops2
-
-            img, st_cell[0], ok, stats = capped_ops2.blend_tiles_capped_split(
-                el, rg2, fr2, cfg_t, st_cell[0]
-            )
-            return dig_j(img, el.count)
+            d, st_cell[0] = fused_j(el, fr2, st_cell[0])
+            return d
 
         def chain_run(k, step):
             d = None
